@@ -1,0 +1,478 @@
+"""HumanoidPHC as pure functions: fully-jittable step with masked resets.
+
+TPU-native re-design of the reference environment
+(`/root/reference/puffer_phc/envs/humanoid_phc.py:46-1455`). The reference
+is an imperative class juggling Isaac Gym buffers, indexed sub-batch resets
+and a host-side motion-state cache; here the environment is a static
+`HumanoidEnv` description plus two pure functions over pytrees:
+
+    reset_all(env, motion_data, rng)          -> EnvState
+    step(env, motion_data, state, actions)    -> (EnvState, StepOutput)
+
+Resets happen *inside* step via `jnp.where` masking (no shape dynamism, no
+host round trip — SURVEY.md §7 'reset-inside-jit'), and the reference-motion
+query is shared by reward/termination/obs exactly like the reference's
+memoized cache (`humanoid_phc.py:875-897`) — but by construction, since the
+step is a single traced program.
+
+Eval-mode differences (relaxed termination distance, mean-based fall check,
+reduced reset-body set, `humanoid_phc.py:1424-1454`) are static fields, so
+train and eval compile as two specializations of the same code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from phc_tpu import body_sets
+from phc_tpu import transforms as T
+from phc_tpu.config import EnvConfig, StateInit
+from phc_tpu.env import kernels
+from phc_tpu.motionlib import MotionData, MotionState, get_motion_state, sample_time_interval
+from phc_tpu.physics import (
+    PhysicsModel,
+    PhysicsState,
+    build_pd_action_offset_scale,
+    build_smpl_model,
+    forward_kinematics,
+    dof_positions,
+    dof_velocities,
+    state_from_parts,
+)
+from phc_tpu.physics import engine as phys_engine
+
+
+class EnvState(NamedTuple):
+    """Per-env dynamic state (device pytree)."""
+
+    physics: PhysicsState
+    progress: jax.Array  # (B,) int32 steps since reset
+    motion_times_start: jax.Array  # (B,) f32 motion time at reset
+    motion_offset: jax.Array  # (B, 3) world-position offset of the reference
+    amp_obs_hist: jax.Array  # (B, S, A) AMP obs ring, [:, 0] = newest
+    amp_obs_demo: jax.Array  # (B, S, A) demo AMP windows for the discriminator
+    rng: jax.Array
+
+
+class StepOutput(NamedTuple):
+    obs: jax.Array  # (B, 934)
+    reward: jax.Array  # (B,)
+    done: jax.Array  # (B,) bool: episode ended (terminated OR truncated)
+    terminated: jax.Array  # (B,) bool: early termination (fall)
+    truncated: jax.Array  # (B,) bool: motion exhausted
+    reward_raw: jax.Array  # (B, 5) [pos, rot, vel, ang_vel, power]
+    amp_obs: jax.Array  # (B, S*A) flattened AMP window (zeros if disabled)
+    mpjpe: jax.Array  # (B,) mean per-joint position error this step (meters)
+
+
+@dataclasses.dataclass(frozen=True)
+class HumanoidEnv:
+    """Static environment description (trace-time constant)."""
+
+    cfg: EnvConfig
+    model: PhysicsModel
+    motion_ids: np.ndarray  # (B,) which loaded motion each env imitates
+    # static index arrays
+    key_body_ids: np.ndarray
+    reset_body_ids: np.ndarray
+    track_body_ids: np.ndarray
+    dof_subset: np.ndarray
+    freeze_dofs: np.ndarray
+    pd_offset: np.ndarray
+    pd_scale: np.ndarray
+    # eval-mode statics (reference toggle_eval_mode)
+    eval_mode: bool = False
+
+    @property
+    def num_envs(self) -> int:
+        return len(self.motion_ids)
+
+    @property
+    def num_bodies(self) -> int:
+        return self.model.num_bodies
+
+    @property
+    def num_dofs(self) -> int:
+        return len(self.pd_offset)
+
+    @property
+    def num_obs(self) -> int:
+        # 358 self + 576 imitation (reference `humanoid_phc.py:458-467`)
+        J = self.num_bodies
+        return (1 + J * 15 - 3) + len(self.track_body_ids) * J
+
+    @property
+    def num_amp_obs_per_step(self) -> int:
+        # 13 + 6*per-subset-joint + subset dofs + 3*key bodies (reference :469-476)
+        n_sub = len(self.dof_subset) // 3
+        return 13 + 6 * n_sub + len(self.dof_subset) + 3 * len(self.key_body_ids)
+
+    @property
+    def num_amp_obs(self) -> int:
+        return self.cfg.num_amp_obs_steps * self.num_amp_obs_per_step
+
+    @property
+    def termination_distance(self) -> float:
+        # eval relaxes 0.25 -> 0.5 (reference `humanoid_phc.py:1429`)
+        return 0.5 if self.eval_mode else self.cfg.termination_distance
+
+    @property
+    def control_dt(self) -> float:
+        return self.model.control_dt
+
+
+def make_env(cfg: EnvConfig, motion_ids: np.ndarray, eval_mode: bool = False) -> HumanoidEnv:
+    model = build_smpl_model(
+        kp_scale=cfg.kp_scale,
+        kd_scale=cfg.kd_scale,
+        dt=cfg.physics.sim_timestep,
+        substeps=cfg.physics.control_freq_inv,
+        contact_stiffness=cfg.physics.contact_stiffness,
+        contact_damping=cfg.physics.contact_damping,
+        friction=cfg.physics.friction,
+    )
+    pd_offset, pd_scale = build_pd_action_offset_scale(model)
+    reset_bodies = body_sets.EVAL_BODIES if eval_mode else body_sets.RESET_BODIES
+    return HumanoidEnv(
+        cfg=cfg,
+        model=model,
+        motion_ids=np.asarray(motion_ids, np.int32),
+        key_body_ids=body_sets.body_ids(body_sets.KEY_BODIES),
+        reset_body_ids=body_sets.body_ids(reset_bodies),
+        track_body_ids=body_sets.body_ids(body_sets.TRACK_BODIES),
+        dof_subset=body_sets.dof_subset_indices(),
+        freeze_dofs=body_sets.freeze_dof_indices(),
+        pd_offset=pd_offset,
+        pd_scale=pd_scale,
+        eval_mode=eval_mode,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference-state sampling and resets
+# ---------------------------------------------------------------------------
+
+
+def _ref_physics_state(ref: MotionState) -> PhysicsState:
+    """Physics state matching a reference motion state (reset-to-reference,
+    reference `_set_env_state` humanoid_phc.py:899-918)."""
+    return state_from_parts(
+        root_pos=ref.root_pos,
+        root_rot=ref.root_rot,
+        dof_pos=ref.dof_pos,
+        root_vel=ref.root_vel,
+        root_ang_vel_world=ref.root_ang_vel,
+        dof_vel=ref.dof_vel,
+    )
+
+
+def _default_physics_state(env: HumanoidEnv, batch: int, rng: jax.Array) -> PhysicsState:
+    """T-pose spawn at char height with random xy (reference
+    `humanoid_phc.py:340-343` + `_reset_default` :686-690)."""
+    st = phys_engine.default_state(env.model, batch, height=0.89)
+    xy = jax.random.uniform(rng, (batch, 2), minval=-1.0, maxval=1.0)
+    return st._replace(root_pos=st.root_pos.at[:, :2].add(xy))
+
+
+def _sample_reset_times(env: HumanoidEnv, data: MotionData, rng: jax.Array, motion_ids) -> jax.Array:
+    cfg = env.cfg
+    if env.eval_mode or cfg.state_init == StateInit.Start:
+        return jnp.zeros(motion_ids.shape, jnp.float32)
+    # Random / Hybrid: grid-snapped random phase (reference `_sample_time`
+    # humanoid_phc.py:838-841)
+    return sample_time_interval(data, rng, motion_ids)
+
+
+def _amp_obs_from_motion(env: HumanoidEnv, data: MotionData, motion_ids, motion_times) -> jax.Array:
+    """AMP obs of a reference state (reference `_get_amp_obs` :819-836)."""
+    st = get_motion_state(data, motion_ids, motion_times)
+    key_pos = st.rg_pos[:, jnp.asarray(env.key_body_ids)]
+    return kernels.compute_amp_obs(
+        st.root_pos,
+        st.root_rot,
+        st.root_vel,
+        st.root_ang_vel,
+        st.dof_pos,
+        st.dof_vel,
+        key_pos,
+        jnp.asarray(env.dof_subset),
+    )
+
+
+def _amp_window_from_motion(env: HumanoidEnv, data: MotionData, motion_ids, motion_times) -> jax.Array:
+    """(B, S, A) AMP history window ending at motion_times (newest first),
+    sampled from the motion library (reference `_init_amp_obs_ref`
+    :803-817 — the demo buffer fed to the discriminator)."""
+    S = env.cfg.num_amp_obs_steps
+    dt = env.control_dt
+    B = motion_ids.shape[0]
+    steps = jnp.arange(S, dtype=jnp.float32) * dt  # 0, dt, ... (S-1)dt back
+    times = jnp.maximum(motion_times[:, None] - steps[None, :], 0.0)  # (B, S)
+    flat_ids = jnp.repeat(motion_ids, S)
+    flat_times = times.reshape(-1)
+    amp = _amp_obs_from_motion(env, data, flat_ids, flat_times)
+    return amp.reshape(B, S, -1)
+
+
+# ---------------------------------------------------------------------------
+# Observation assembly
+# ---------------------------------------------------------------------------
+
+
+def _compute_obs(env: HumanoidEnv, frame, ref: MotionState) -> jax.Array:
+    """[self obs (358) | imitation obs (576)] (reference
+    `_compute_observations` humanoid_phc.py:935-959)."""
+    self_obs = kernels.compute_self_obs(frame.pos, frame.rot, frame.lin_vel, frame.ang_vel)
+    tb = jnp.asarray(env.track_body_ids)
+    task_obs = kernels.compute_imitation_obs(
+        frame.pos[:, 0],
+        frame.rot[:, 0],
+        frame.pos[:, tb],
+        frame.rot[:, tb],
+        frame.lin_vel[:, tb],
+        frame.ang_vel[:, tb],
+        ref.rg_pos[:, tb],
+        ref.rb_rot[:, tb],
+        ref.body_vel[:, tb],
+        ref.body_ang_vel[:, tb],
+    )
+    return jnp.concatenate([self_obs, task_obs], axis=-1)
+
+
+def _amp_obs_from_sim(env: HumanoidEnv, physics: PhysicsState, frame) -> jax.Array:
+    kb = jnp.asarray(env.key_body_ids)
+    return kernels.compute_amp_obs(
+        frame.pos[:, 0],
+        frame.rot[:, 0],
+        frame.lin_vel[:, 0],
+        frame.ang_vel[:, 0],
+        dof_positions(physics),
+        dof_velocities(physics),
+        frame.pos[:, kb],
+        jnp.asarray(env.dof_subset),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API: reset_all / step
+# ---------------------------------------------------------------------------
+
+
+def reset_all(env: HumanoidEnv, data: MotionData, rng: jax.Array) -> Tuple[EnvState, jax.Array]:
+    """Reset every env; returns (state, obs).
+
+    Includes the reference's stabilization double-reset (`humanoid_phc.py:
+    97-101`): set state, run one physics step, set state again.
+    """
+    B = env.num_envs
+    motion_ids = jnp.asarray(env.motion_ids)
+    rng, r_time, r_hybrid, r_xy = jax.random.split(rng, 4)
+
+    times = _sample_reset_times(env, data, r_time, motion_ids)
+    ref = get_motion_state(data, motion_ids, times)
+    physics = _ref_physics_state(ref)
+
+    if env.cfg.state_init == StateInit.Default:
+        physics = _default_physics_state(env, B, r_xy)
+        times = jnp.zeros(B)
+    elif env.cfg.state_init == StateInit.Hybrid:
+        use_ref = jax.random.bernoulli(r_hybrid, env.cfg.hybrid_init_prob, (B,))
+        default = _default_physics_state(env, B, r_xy)
+        physics = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(use_ref.reshape((-1,) + (1,) * (a.ndim - 1)), a, b), physics, default
+        )
+        times = jnp.where(use_ref, times, 0.0)
+
+    # stabilization double reset
+    pd_hold = dof_positions(physics)
+    stepped, _ = phys_engine.step(env.model, physics, pd_hold)
+    del stepped  # state is re-imposed; the extra step only flushes transients
+    # (with a pure-functional engine the re-imposition is exact, so the
+    # reference's "squash any remaining weirdness" step is a no-op by
+    # construction; kept here as documentation of the behavioral contract)
+
+    amp_dim = env.num_amp_obs_per_step
+    S = env.cfg.num_amp_obs_steps
+    if env.cfg.use_amp_obs:
+        amp_hist = _amp_window_from_motion(env, data, motion_ids, times)
+        amp_demo = amp_hist
+    else:
+        amp_hist = jnp.zeros((B, S, amp_dim))
+        amp_demo = amp_hist
+
+    state = EnvState(
+        physics=physics,
+        progress=jnp.zeros(B, jnp.int32),
+        motion_times_start=times,
+        motion_offset=jnp.zeros((B, 3)),
+        amp_obs_hist=amp_hist,
+        amp_obs_demo=amp_demo,
+        rng=rng,
+    )
+
+    frame = forward_kinematics(env.model, physics)
+    obs = _compute_obs(env, frame, get_motion_state(data, motion_ids, times))
+    return state, obs
+
+
+def step(
+    env: HumanoidEnv, data: MotionData, state: EnvState, actions: jax.Array
+) -> Tuple[EnvState, StepOutput]:
+    """One control step: PD-actuated physics, reward, termination, masked
+    auto-reset, next obs. Fully jittable; no host round trips."""
+    cfg = env.cfg
+    B = env.num_envs
+    motion_ids = jnp.asarray(env.motion_ids)
+
+    rng, r_noise, r_time, r_hybrid, r_xy = jax.random.split(state.rng, 5)
+
+    # ---- actions -> PD targets (reference humanoid_phc.py:105-128) --------
+    if cfg.clip_actions:
+        actions = jnp.clip(actions, -1.0, 1.0)
+    if cfg.add_action_noise:
+        actions = actions + cfg.action_noise_std * jax.random.normal(r_noise, actions.shape)
+    pd_target = jnp.asarray(env.pd_offset) + jnp.asarray(env.pd_scale) * actions
+    if cfg.robot.freeze_hand or cfg.robot.freeze_toe:
+        pd_target = pd_target.at[:, jnp.asarray(env.freeze_dofs)].set(0.0)
+
+    # ---- physics -----------------------------------------------------------
+    physics, sim_info = phys_engine.step(env.model, state.physics, pd_target)
+    progress = state.progress + 1
+
+    frame = forward_kinematics(env.model, physics)
+
+    # ---- shared reference-motion query (reference's memoized cache) -------
+    motion_times = progress.astype(jnp.float32) * env.control_dt + state.motion_times_start
+    ref = get_motion_state(data, motion_ids, motion_times, offset=state.motion_offset)
+
+    # ---- reward (reference `_compute_reward` :1228-1303) -------------------
+    rw = cfg.reward
+    reward, reward_raw4 = kernels.compute_imitation_reward(
+        frame.pos,
+        frame.rot,
+        frame.lin_vel,
+        frame.ang_vel,
+        ref.rg_pos,
+        ref.rb_rot,
+        ref.body_vel,
+        ref.body_ang_vel,
+        k_pos=rw.k_pos,
+        k_rot=rw.k_rot,
+        k_vel=rw.k_vel,
+        k_ang_vel=rw.k_ang_vel,
+        w_pos=rw.w_pos,
+        w_rot=rw.w_rot,
+        w_vel=rw.w_vel,
+        w_ang_vel=rw.w_ang_vel,
+    )
+    if rw.use_power_reward:
+        power_r = kernels.compute_power_reward(
+            sim_info["dof_torque"], dof_velocities(physics), progress, cfg.rew_power_coef
+        )
+        reward = reward + power_r
+    else:
+        power_r = jnp.zeros(B)
+    reward_raw = jnp.concatenate([reward_raw4, power_r[:, None]], axis=-1)
+
+    # ---- termination / truncation (reference `_compute_reset` :1311-1333) --
+    pass_time = motion_times >= data.motion_lengths[motion_ids]
+    rb = jnp.asarray(env.reset_body_ids)
+    done, terminated = kernels.compute_im_reset(
+        frame.pos[:, rb],
+        ref.rg_pos[:, rb],
+        pass_time,
+        progress,
+        jnp.asarray(env.termination_distance, jnp.float32),
+        use_mean=env.eval_mode,
+        enable_early_termination=cfg.enable_early_termination,
+    )
+    truncated = pass_time & ~terminated
+
+    # per-step tracking error (reference eval extras :159-169)
+    mpjpe = jnp.linalg.norm(frame.pos - ref.rg_pos, axis=-1).mean(axis=-1)
+
+    # ---- masked auto-reset --------------------------------------------------
+    new_times = _sample_reset_times(env, data, r_time, motion_ids)
+    ref_new = get_motion_state(data, motion_ids, new_times)
+    reset_physics = _ref_physics_state(ref_new)
+    if cfg.state_init == StateInit.Default:
+        reset_physics = _default_physics_state(env, B, r_xy)
+        new_times = jnp.zeros(B)
+    elif cfg.state_init == StateInit.Hybrid:
+        use_ref = jax.random.bernoulli(r_hybrid, cfg.hybrid_init_prob, (B,))
+        default = _default_physics_state(env, B, r_xy)
+        reset_physics = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(use_ref.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+            reset_physics,
+            default,
+        )
+        new_times = jnp.where(use_ref, new_times, 0.0)
+
+    def mask_like(new, old):
+        m = done.reshape((-1,) + (1,) * (new.ndim - 1))
+        return jnp.where(m, new, old)
+
+    physics = jax.tree_util.tree_map(mask_like, reset_physics, physics)
+    progress = jnp.where(done, 0, progress)
+    times_start = jnp.where(done, new_times, state.motion_times_start)
+    motion_offset = jnp.where(done[:, None], 0.0, state.motion_offset)
+
+    # ---- next obs (post-reset, like the reference's reset-then-observe) ----
+    frame2 = forward_kinematics(env.model, physics)
+    obs_times = jnp.where(
+        done, times_start, (progress + 1).astype(jnp.float32) * env.control_dt + times_start
+    )
+    # NOTE: the reference computes obs against the NEXT frame's reference
+    # state (`_compute_task_obs` :1061-1065 "+1"); for freshly reset envs it
+    # observes the reset reference state itself (`_reset_envs` :663-671).
+    ref_obs = get_motion_state(data, motion_ids, obs_times, offset=motion_offset)
+    obs = _compute_obs(env, frame2, ref_obs)
+    if cfg.add_obs_noise and not env.eval_mode:
+        rng, r_on = jax.random.split(rng)
+        obs = obs + cfg.obs_noise_std * jax.random.normal(r_on, obs.shape)
+
+    # ---- AMP observation history (reference :154-157, 1339-1359) -----------
+    if cfg.use_amp_obs:
+        curr_amp = _amp_obs_from_sim(env, physics, frame2)
+        amp_hist = jnp.concatenate([curr_amp[:, None], state.amp_obs_hist[:, :-1]], axis=1)
+        # freshly reset envs get their history from the motion library
+        reset_window = _amp_window_from_motion(env, data, motion_ids, times_start)
+        amp_hist = jnp.where(done[:, None, None], reset_window, amp_hist)
+        amp_demo = jnp.where(done[:, None, None], reset_window, state.amp_obs_demo)
+        amp_flat = amp_hist.reshape(B, -1)
+    else:
+        amp_hist = state.amp_obs_hist
+        amp_demo = state.amp_obs_demo
+        amp_flat = jnp.zeros((B, env.num_amp_obs))
+
+    new_state = EnvState(
+        physics=physics,
+        progress=progress,
+        motion_times_start=times_start,
+        motion_offset=motion_offset,
+        amp_obs_hist=amp_hist,
+        amp_obs_demo=amp_demo,
+        rng=rng,
+    )
+    out = StepOutput(
+        obs=obs,
+        reward=reward,
+        done=done,
+        terminated=terminated,
+        truncated=truncated,
+        reward_raw=reward_raw,
+        amp_obs=amp_flat,
+        mpjpe=mpjpe,
+    )
+    return new_state, out
+
+
+def fetch_amp_obs_demo(env: HumanoidEnv, state: EnvState) -> jax.Array:
+    """Demo AMP windows for discriminator training (reference
+    `fetch_amp_obs_demo` humanoid_phc.py:1358-1359)."""
+    return state.amp_obs_demo.reshape(env.num_envs, -1)

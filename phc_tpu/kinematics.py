@@ -163,6 +163,46 @@ def global_to_local_rotations(tree: SkeletonTree, global_rot):
 
 
 # ---------------------------------------------------------------------------
+# Host-side (numpy) FK — used by the motion loader, where frame counts vary
+# between reloads and device compiles would retrace for every new shape.
+# ---------------------------------------------------------------------------
+
+
+def forward_kinematics_np(tree: SkeletonTree, local_rot: np.ndarray, root_trans: np.ndarray):
+    """Numpy twin of `forward_kinematics` (identical semantics)."""
+    grot = np.zeros_like(local_rot)
+    gpos = np.zeros(local_rot.shape[:-1] + (3,), dtype=np.float32)
+    local_t = tree.local_translation
+    grot[..., 0, :] = local_rot[..., 0, :]
+    gpos[..., 0, :] = root_trans
+    for level in tree.levels[1:]:
+        par = tree.parent_indices[level]
+        parent_rot = grot[..., par, :]
+        grot[..., level, :] = _np_quat_normalize(_np_quat_mul(parent_rot, local_rot[..., level, :]))
+        gpos[..., level, :] = gpos[..., par, :] + _np_quat_rotate(parent_rot, local_t[level])
+    return grot, gpos
+
+
+def global_to_local_rotations_np(tree: SkeletonTree, global_rot: np.ndarray) -> np.ndarray:
+    """Numpy twin of `global_to_local_rotations`."""
+    parents = np.maximum(tree.parent_indices, 0)
+    parent_rot = global_rot[..., parents, :]
+    local = _np_quat_normalize(_np_quat_mul(_np_quat_conj(parent_rot), global_rot))
+    is_root = tree.parent_indices < 0
+    return np.where(is_root[:, None], _np_quat_normalize(global_rot), local)
+
+
+def _np_quat_rotate(q, v):
+    qw = q[..., 3:4]
+    qv = q[..., :3]
+    return (
+        v * (2.0 * qw * qw - 1.0)
+        + 2.0 * qw * np.cross(qv, v)
+        + 2.0 * qv * np.sum(qv * v, axis=-1, keepdims=True)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Motion derivatives (host-side preprocessing, numpy)
 # ---------------------------------------------------------------------------
 

@@ -364,13 +364,10 @@ class MotionLib:
             trans[:, 0] = cos * x - sin * y
             trans[:, 1] = sin * x + cos * y
 
-        # --- FK over all frames at once (device) ----------------------------
-        grot_j = jnp.asarray(grot)
-        local = K.global_to_local_rotations(self.tree, grot_j)
-        grs, gts = K.forward_kinematics(self.tree, local, jnp.asarray(trans))
-        grs = np.asarray(grs)
-        gts = np.asarray(gts)
-        lrs = np.asarray(local)
+        # --- FK over all frames at once (host numpy: frame counts vary per
+        # reload, so a device FK would retrace for every new shape) ----------
+        lrs = K.global_to_local_rotations_np(self.tree, grot)
+        grs, gts = K.forward_kinematics_np(self.tree, lrs, trans)
 
         # --- ground-height fix (geometry-based) -----------------------------
         # The reference lowers clips so the SMPL *mesh* touches the ground

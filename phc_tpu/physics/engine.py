@@ -1,0 +1,448 @@
+"""Batched reduced-coordinate articulated rigid-body dynamics in JAX.
+
+This is the TPU-native replacement for Isaac Gym / PhysX + gymtorch
+(`/root/reference/puffer_phc/envs/isaacgym_env.py`, `gymtorch/`): the
+simulator state lives in jnp arrays, the whole step is one fused XLA
+program, and everything vmaps over the env batch.
+
+Design (see SURVEY.md §7 phase 4):
+  * Generalized coordinates: root position (world), root orientation quat,
+    and one **ball joint with quaternion state** per non-root body. The
+    reference approximates spherical joints with 3 stacked MJCF hinges and
+    feeds exp-map coordinates into them interchangeably
+    (`humanoid_phc.py:1216-1226`, `motion_lib.py:670-673`); we model true
+    ball joints whose reported dof coordinates ARE the exp map, which
+    matches the motion library convention exactly and has no gimbal issues.
+  * Velocities: v = [root linear (world, 3), root angular (body frame, 3),
+    per-joint relative angular velocity (child frame, 3 each)] — the MuJoCo
+    free/ball-joint convention, so MuJoCo is a drop-in oracle for CRBA/RNEA.
+  * Dynamics: world-frame Composite Rigid Body Algorithm for the joint-space
+    mass matrix (one batched (B,N,6)x(B,6,N) matmul -> MXU) + world-frame
+    RNEA for Coriolis/gravity bias, stable-PD actuation solved implicitly
+    (LHS gets dt*Kd), and penalty ground contacts with smooth Coulomb
+    friction. Integration is semi-implicit Euler with quaternion exp updates.
+  * No data-dependent control flow: resets and contacts are masked, the
+    substep loop is a `lax.scan`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from phc_tpu import transforms as T
+from phc_tpu.physics.model import PhysicsModel
+
+
+class PhysicsState(NamedTuple):
+    """Dynamic simulation state (device pytree), batched over envs."""
+
+    root_pos: jax.Array  # (B, 3)
+    joint_quat: jax.Array  # (B, J, 4) xyzw; [:, 0] is root orientation
+    vel: jax.Array  # (B, 6 + 3*(J-1)) generalized velocity
+
+    @property
+    def batch(self) -> int:
+        return self.root_pos.shape[0]
+
+
+class BodyFrame(NamedTuple):
+    """World-frame per-body kinematics derived from a PhysicsState."""
+
+    rot: jax.Array  # (B, J, 4) body orientation
+    pos: jax.Array  # (B, J, 3) body origin (= joint anchor)
+    lin_vel: jax.Array  # (B, J, 3) velocity of the body origin
+    ang_vel: jax.Array  # (B, J, 3) angular velocity (world frame)
+
+
+# ---------------------------------------------------------------------------
+# Kinematics
+# ---------------------------------------------------------------------------
+
+
+def forward_kinematics(model: PhysicsModel, state: PhysicsState) -> BodyFrame:
+    """FK + velocity propagation, level-scheduled (few fused steps)."""
+    J = model.num_bodies
+    local_t = jnp.asarray(model.local_offsets)
+
+    rot = jnp.zeros_like(state.joint_quat)
+    pos = jnp.zeros(state.joint_quat.shape[:-1] + (3,))
+    omg = jnp.zeros_like(pos)
+    lin = jnp.zeros_like(pos)
+
+    root_rot = state.joint_quat[:, 0]
+    rot = rot.at[:, 0].set(root_rot)
+    pos = pos.at[:, 0].set(state.root_pos)
+    # root angular velocity is stored in the body frame (MuJoCo freejoint)
+    omg = omg.at[:, 0].set(T.quat_rotate(root_rot, state.vel[:, 3:6]))
+    lin = lin.at[:, 0].set(state.vel[:, 0:3])
+
+    joint_omega = state.vel[:, 6:].reshape(state.vel.shape[0], J - 1, 3)
+
+    for level in model.levels[1:]:
+        ids = jnp.asarray(level)
+        par = jnp.asarray(model.parents[level])
+        p_rot = rot[:, par]
+        new_rot = T.quat_mul_norm(p_rot, state.joint_quat[:, ids])
+        offset_w = T.quat_rotate(p_rot, local_t[ids])
+        new_pos = pos[:, par] + offset_w
+        # child angular velocity: parent's + joint rate (child frame -> world)
+        new_omg = omg[:, par] + T.quat_rotate(new_rot, joint_omega[:, ids - 1])
+        new_lin = lin[:, par] + jnp.cross(omg[:, par], offset_w)
+        rot = rot.at[:, ids].set(new_rot)
+        pos = pos.at[:, ids].set(new_pos)
+        omg = omg.at[:, ids].set(new_omg)
+        lin = lin.at[:, ids].set(new_lin)
+
+    return BodyFrame(rot=rot, pos=pos, lin_vel=lin, ang_vel=omg)
+
+
+def dof_positions(state: PhysicsState) -> jax.Array:
+    """Exp-map joint coordinates (B, 3*(J-1)) — the env-facing dof_pos."""
+    B, J, _ = state.joint_quat.shape
+    return T.quat_to_exp_map(state.joint_quat[:, 1:]).reshape(B, 3 * (J - 1))
+
+
+def dof_velocities(state: PhysicsState) -> jax.Array:
+    return state.vel[:, 6:]
+
+
+# ---------------------------------------------------------------------------
+# Spatial algebra helpers (Plücker coordinates about the world origin,
+# angular-first: m = [omega; v_origin], f = [torque_origin; force])
+# ---------------------------------------------------------------------------
+
+
+def _skew(v):
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], -1),
+            jnp.stack([z, zero, -x], -1),
+            jnp.stack([-y, x, zero], -1),
+        ],
+        axis=-2,
+    )
+
+
+def _spatial_inertia_world(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
+    """(B, J, 6, 6) spatial inertia of each body about the world origin."""
+    R = T.quat_to_rotmat(frame.rot)  # (B, J, 3, 3)
+    m = jnp.asarray(model.mass)[None, :, None, None]
+    com_w = frame.pos + T.quat_rotate(frame.rot, jnp.asarray(model.com))
+    I_com = jnp.einsum("bjxy,jyz,bjwz->bjxw", R, jnp.asarray(model.inertia), R)
+    C = _skew(com_w)  # (B, J, 3, 3)
+    eye = jnp.broadcast_to(jnp.eye(3), C.shape)
+    top_left = I_com + m * (C @ jnp.swapaxes(C, -1, -2))
+    top_right = m * C
+    bot_left = m * jnp.swapaxes(C, -1, -2)
+    bot_right = m * eye
+    top = jnp.concatenate([top_left, top_right], axis=-1)
+    bot = jnp.concatenate([bot_left, bot_right], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _motion_subspace(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
+    """(B, N, 6) world-frame Plücker motion vector of each velocity dof.
+
+    Root translations: [0; e_k]. Rotational dof with world axis a through
+    anchor x: [a; x × a].
+    """
+    B, J = frame.rot.shape[:2]
+    R = T.quat_to_rotmat(frame.rot)  # columns = body axes in world
+
+    # root: 3 translational + 3 rotational (axes = root body axes, anchor x0)
+    S_trans = jnp.concatenate(
+        [jnp.zeros((B, 3, 3)), jnp.broadcast_to(jnp.eye(3), (B, 3, 3))], axis=-1
+    )  # (B, 3, 6)
+    x0 = frame.pos[:, 0]
+    root_axes = jnp.swapaxes(R[:, 0], -1, -2)  # (B, 3(axes), 3)
+    S_rot_root = jnp.concatenate([root_axes, jnp.cross(x0[:, None, :], root_axes)], axis=-1)
+
+    # ball joints: axes = child body axes, anchor = child origin
+    axes = jnp.swapaxes(R[:, 1:], -1, -2)  # (B, J-1, 3(axes), 3)
+    anchors = frame.pos[:, 1:, None, :]
+    S_ball = jnp.concatenate([axes, jnp.cross(anchors, axes)], axis=-1)  # (B, J-1, 3, 6)
+    S_ball = S_ball.reshape(B, 3 * (J - 1), 6)
+
+    return jnp.concatenate([S_trans, S_rot_root, S_ball], axis=1)  # (B, N, 6)
+
+
+_DOF_BODY = None  # cache of dof -> body mapping per model id
+
+
+def _dof_body_ids(model: PhysicsModel) -> np.ndarray:
+    J = model.num_bodies
+    return np.concatenate([[0] * 6, np.repeat(np.arange(1, J), 3)]).astype(np.int32)
+
+
+def _composite_inertia(model: PhysicsModel, I_sp: jax.Array) -> jax.Array:
+    """Accumulate subtree spatial inertias, leaves -> root (reverse levels)."""
+    Ic = I_sp
+    for level in reversed(model.levels[1:]):
+        par = model.parents[level]
+        # scatter-add children into parents (unique parents per level step)
+        Ic = Ic.at[:, jnp.asarray(par)].add(Ic[:, jnp.asarray(level)])
+    return Ic
+
+
+def mass_matrix(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
+    """Joint-space mass matrix via world-frame CRBA. (B, N, N)."""
+    I_sp = _spatial_inertia_world(model, frame)
+    Ic = _composite_inertia(model, I_sp)
+    S = _motion_subspace(model, frame)  # (B, N, 6)
+
+    dof_body = _dof_body_ids(model)
+    Ic_d = Ic[:, jnp.asarray(dof_body)]  # (B, N, 6, 6)
+    F = jnp.einsum("bnij,bnj->bni", Ic_d, S)  # (B, N, 6)
+
+    M_full = jnp.einsum("bni,bmi->bnm", F, S)  # MXU batched matmul
+
+    # mask: M[d1, d2] valid where body(d2) is ancestor-or-self of body(d1)
+    anc = model.ancestor_mask[np.ix_(dof_body, dof_body)]  # (N, N)
+    lower = jnp.asarray(anc)
+    M = jnp.where(lower, M_full, 0.0)
+    M = jnp.where(lower.T, jnp.swapaxes(M, -1, -2), M)  # fill upper from lower
+    # keep the diagonal from the direct computation
+    N = S.shape[1]
+    M = M.at[:, jnp.arange(N), jnp.arange(N)].set(M_full[:, jnp.arange(N), jnp.arange(N)])
+
+    # armature on actuated dofs
+    arm = jnp.concatenate([jnp.zeros(6), jnp.asarray(model.armature)])
+    return M + jnp.diag(arm)[None]
+
+
+def bias_forces(model: PhysicsModel, frame: BodyFrame, state: PhysicsState) -> jax.Array:
+    """C(q, v): Coriolis/centrifugal + gravity via world-frame RNEA. (B, N).
+
+    Sign convention: M qacc = tau_applied - C (MuJoCo's qfrc_bias).
+    """
+    B, J = frame.rot.shape[:2]
+
+    # spatial velocity about origin: [omega; v - omega x x]
+    v_o = frame.lin_vel - jnp.cross(frame.ang_vel, frame.pos)
+    v_sp = jnp.concatenate([frame.ang_vel, v_o], axis=-1)  # (B, J, 6)
+
+    # bias acceleration: a_i = a_parent + v_i x (S_i qdot_i); a_root includes
+    # the gravity trick (base accelerates upward at -g).
+    g = jnp.array([0.0, 0.0, model.gravity])
+    a = jnp.zeros((B, J, 6))
+    a = a.at[:, 0, 3:].set(-g)  # [0; -g] so gravity enters the bias
+
+    joint_omega = state.vel[:, 6:].reshape(B, J - 1, 3)
+    for level in model.levels[1:]:
+        ids = jnp.asarray(level)
+        par = jnp.asarray(model.parents[level])
+        # S q̇ for this joint in world Plücker coords
+        w_rel = T.quat_rotate(frame.rot[:, ids], joint_omega[:, ids - 1])  # (B, L, 3)
+        sv_ang = w_rel
+        sv_lin = jnp.cross(frame.pos[:, ids], w_rel)
+        # spatial cross: v x m = [w1 x w2; w1 x v2 + v1 x w2]
+        w1 = v_sp[:, ids, :3]
+        v1 = v_sp[:, ids, 3:]
+        xm_ang = jnp.cross(w1, sv_ang)
+        xm_lin = jnp.cross(w1, sv_lin) + jnp.cross(v1, sv_ang)
+        a = a.at[:, ids].set(a[:, par] + jnp.concatenate([xm_ang, xm_lin], axis=-1))
+
+    I_sp = _spatial_inertia_world(model, frame)
+    Iv = jnp.einsum("bjik,bjk->bji", I_sp, v_sp)
+    Ia = jnp.einsum("bjik,bjk->bji", I_sp, a)
+
+    # force-space cross product: v x* f = [w x n + v x f; w x f]
+    w = v_sp[..., :3]
+    vv = v_sp[..., 3:]
+    n = Iv[..., :3]
+    f = Iv[..., 3:]
+    vxf = jnp.concatenate([jnp.cross(w, n) + jnp.cross(vv, f), jnp.cross(w, f)], axis=-1)
+
+    f_body = Ia + vxf  # (B, J, 6)
+
+    # backward accumulation to get subtree wrenches
+    f_acc = f_body
+    for level in reversed(model.levels[1:]):
+        par = model.parents[level]
+        f_acc = f_acc.at[:, jnp.asarray(par)].add(f_acc[:, jnp.asarray(level)])
+
+    S = _motion_subspace(model, frame)
+    dof_body = jnp.asarray(_dof_body_ids(model))
+    return jnp.einsum("bni,bni->bn", S, f_acc[:, dof_body])
+
+
+# ---------------------------------------------------------------------------
+# Contacts (ground plane z=0, penalty + smooth Coulomb friction)
+# ---------------------------------------------------------------------------
+
+
+def ground_contact_forces(model: PhysicsModel, frame: BodyFrame):
+    """Per-candidate-point world contact force and application point.
+
+    Returns (points (B,P,3), forces (B,P,3), contact_force_per_body (B,J,3)).
+    Penalty normal (stiffness*depth + damping*approach speed, one-sided) with
+    velocity-regularized Coulomb friction — the XLA-friendly stand-in for
+    PhysX's iterative solver (reference sim params `isaacgym_env.py:15-27`).
+    """
+    body = jnp.asarray(model.contact_body)
+    p_local = jnp.asarray(model.contact_pos)
+    radius = jnp.asarray(model.contact_radius)
+
+    rot_b = frame.rot[:, body]
+    pos_b = frame.pos[:, body]
+    p_world = pos_b + T.quat_rotate(rot_b, p_local)  # (B, P, 3)
+    v_point = frame.lin_vel[:, body] + jnp.cross(frame.ang_vel[:, body], p_world - pos_b)
+
+    depth = p_world[..., 2] - radius  # signed distance to plane
+    pen = jnp.maximum(-depth, 0.0)
+    active = pen > 0.0
+
+    v_n = v_point[..., 2]
+    f_n = model.contact_stiffness * pen - model.contact_damping * v_n * active
+    f_n = jnp.maximum(f_n, 0.0) * active
+
+    v_t = v_point[..., :2]
+    v_t_norm = jnp.linalg.norm(v_t, axis=-1, keepdims=True)
+    # smooth Coulomb: full mu*fn beyond eps, linear inside
+    scale = jnp.minimum(v_t_norm / model.contact_vel_eps, 1.0)
+    f_t = -model.friction * f_n[..., None] * scale * v_t / jnp.maximum(v_t_norm, 1e-8)
+
+    forces = jnp.concatenate([f_t, f_n[..., None]], axis=-1)  # (B, P, 3)
+
+    # aggregate per body for the env's contact_forces buffer
+    B = frame.rot.shape[0]
+    cbf = jnp.zeros((B, model.num_bodies, 3)).at[:, body].add(forces)
+    return p_world, forces, cbf
+
+
+def _contact_generalized_forces(model, frame, S, points, forces):
+    """Project point forces into joint space: Q = S^T [p x f; f], masked to
+    ancestors of the contact body."""
+    F_sp = jnp.concatenate([jnp.cross(points, forces), forces], axis=-1)  # (B, P, 6)
+    proj = jnp.einsum("bni,bpi->bnp", S, F_sp)  # (B, N, P)
+    dof_body = _dof_body_ids(model)
+    mask = model.ancestor_mask[model.contact_body][:, dof_body].T  # (N, P)
+    return jnp.sum(proj * jnp.asarray(mask)[None], axis=-1)  # (B, N)
+
+
+# ---------------------------------------------------------------------------
+# Actuation + stepping
+# ---------------------------------------------------------------------------
+
+
+def pd_actuation(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array, dt: float):
+    """Stable-PD torques (explicit part) on the ball-joint exp-map coords.
+
+    tau = kp*(target - q - dt*qdot) - kd*qdot, with the kd*dt*qacc part
+    moved into the LHS of the solve (Tan et al. stable PD; replaces Isaac's
+    internal PD, reference `humanoid_phc.py:127-128` + DOF_MODE_POS).
+    """
+    q = dof_positions(state)
+    qd = dof_velocities(state)
+    kp = jnp.asarray(model.kp)
+    kd = jnp.asarray(model.kd)
+    tau = kp * (pd_target - q - dt * qd) - kd * qd
+    return tau  # (B, 69)
+
+
+def step(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
+    """One control step = `model.substeps` physics substeps (lax.scan).
+
+    Returns (new_state, info dict with contact forces and dof torques of the
+    last substep).
+    """
+
+    def substep(s, _):
+        s2, info = _physics_substep(model, s, pd_target)
+        return s2, info
+
+    state, infos = jax.lax.scan(substep, state, None, length=model.substeps)
+    info = jax.tree_util.tree_map(lambda x: x[-1], infos)
+    return state, info
+
+
+def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
+    dt = model.dt
+    B = state.batch
+    J = model.num_bodies
+    N = model.num_dofs
+
+    frame = forward_kinematics(model, state)
+    S = _motion_subspace(model, frame)
+
+    M = mass_matrix(model, frame)
+    C = bias_forces(model, frame, state)
+
+    tau_act = pd_actuation(model, state, pd_target, dt)
+    tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
+
+    points, forces, cbf = ground_contact_forces(model, frame)
+    Q_contact = _contact_generalized_forces(model, frame, S, points, forces)
+
+    # implicit joint damping (stable PD): LHS += dt * Kd
+    kd_full = jnp.concatenate([jnp.zeros(6), jnp.asarray(model.kd)])
+    lhs = M + jnp.diag(dt * kd_full)[None]
+
+    rhs = tau + Q_contact - C
+
+    L = jnp.linalg.cholesky(lhs)
+    qacc = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+
+    v_new = state.vel + dt * qacc
+
+    # integrate: root position (world), quaternions via exponential map
+    root_pos = state.root_pos + dt * v_new[:, 0:3]
+
+    def quat_step(q, omega_local):
+        dq = T.exp_map_to_quat(dt * omega_local)
+        return T.quat_mul_norm(q, dq)
+
+    root_quat = quat_step(state.joint_quat[:, 0], v_new[:, 3:6])
+    joint_omega = v_new[:, 6:].reshape(B, J - 1, 3)
+    ball_quat = quat_step(state.joint_quat[:, 1:], joint_omega)
+    joint_quat = jnp.concatenate([root_quat[:, None], ball_quat], axis=1)
+
+    new_state = PhysicsState(root_pos=root_pos, joint_quat=joint_quat, vel=v_new)
+    # actual actuator torque (with the implicit damping correction) for the
+    # power reward (reference `humanoid_phc.py:1295-1303`)
+    dof_torque = tau_act - jnp.asarray(model.kd) * dt * qacc[:, 6:]
+    info = {"contact_forces": cbf, "dof_torque": dof_torque}
+    return new_state, info
+
+
+# ---------------------------------------------------------------------------
+# State construction
+# ---------------------------------------------------------------------------
+
+
+def state_from_parts(
+    root_pos: jax.Array,
+    root_rot: jax.Array,
+    dof_pos: jax.Array,
+    root_vel: jax.Array,
+    root_ang_vel_world: jax.Array,
+    dof_vel: jax.Array,
+) -> PhysicsState:
+    """Build a PhysicsState from env/motion-lib quantities.
+
+    Mirrors reference `_set_env_state` (`humanoid_phc.py:899-918`): root
+    angular velocity arrives world-frame (Isaac convention) and is converted
+    to the body frame; dof_pos is exp-map (B, 69); dof_vel is the joint
+    angular velocity in child frames (B, 69) — the motion library convention.
+    """
+    B = root_pos.shape[0]
+    J1 = dof_pos.shape[-1] // 3
+    ball_quat = T.exp_map_to_quat(dof_pos.reshape(B, J1, 3))
+    joint_quat = jnp.concatenate([root_rot[:, None], ball_quat], axis=1)
+    ang_body = T.quat_rotate(T.quat_conjugate(root_rot), root_ang_vel_world)
+    vel = jnp.concatenate([root_vel, ang_body, dof_vel], axis=-1)
+    return PhysicsState(root_pos=root_pos, joint_quat=joint_quat, vel=vel)
+
+
+def default_state(model: PhysicsModel, batch: int, height: float = 0.89) -> PhysicsState:
+    J = model.num_bodies
+    root_pos = jnp.tile(jnp.array([0.0, 0.0, height]), (batch, 1))
+    joint_quat = jnp.tile(T.quat_identity((J,)), (batch, 1, 1))
+    vel = jnp.zeros((batch, model.num_dofs))
+    return PhysicsState(root_pos=root_pos, joint_quat=joint_quat, vel=vel)

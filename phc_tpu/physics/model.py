@@ -1,0 +1,251 @@
+"""Physics model builder: humanoid description tables -> static model arrays.
+
+Replaces the role of Isaac Gym's asset loader + `gym.prepare_sim`
+(`/root/reference/puffer_phc/envs/humanoid_phc.py:185-230, 264-326`): mass
+properties are derived from collision geometry densities exactly as MuJoCo/
+PhysX do, PD gains and armature come from the per-joint tables, and a list
+of candidate ground-contact points is precomputed from the geoms.
+
+Everything here is static (numpy) — captured as constants when the step
+function is traced; only `PhysicsState` (see engine.py) is a device pytree.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+@dataclass(frozen=True)
+class PhysicsModel:
+    """Static articulated-body model (trace-time constant)."""
+
+    # topology
+    body_names: tuple
+    parents: np.ndarray  # (J,) int32, -1 root
+    local_offsets: np.ndarray  # (J, 3) joint anchor in parent frame
+    levels: tuple  # topological levels (from kinematics)
+    ancestor_mask: np.ndarray  # (J, J) bool; [i, j] = j is ancestor-or-self of i
+
+    # mass properties (body frame, about joint anchor = body origin)
+    mass: np.ndarray  # (J,)
+    com: np.ndarray  # (J, 3) center of mass in body frame
+    inertia: np.ndarray  # (J, 3, 3) about COM, body frame
+
+    # actuation (69 dofs = 23 ball joints x 3)
+    kp: np.ndarray  # (69,)
+    kd: np.ndarray  # (69,)
+    armature: np.ndarray  # (69,)
+    dof_limit: np.ndarray  # (69,) symmetric range (rad)
+
+    # contacts
+    contact_body: np.ndarray  # (P,) int32 body index per candidate point
+    contact_pos: np.ndarray  # (P, 3) point in body frame
+    contact_radius: np.ndarray  # (P,)
+
+    # parameters
+    gravity: float = -9.81
+    friction: float = 1.0
+    dt: float = 1.0 / 60.0
+    substeps: int = 2  # physics steps per control step (30 Hz control)
+    contact_stiffness: float = 2.0e4
+    contact_damping: float = 6.0e2
+    contact_vel_eps: float = 0.1  # smooth Coulomb regularization (m/s)
+
+    @property
+    def num_bodies(self) -> int:
+        return len(self.body_names)
+
+    @property
+    def num_dofs(self) -> int:
+        return 6 + 3 * (self.num_bodies - 1)
+
+    @property
+    def control_dt(self) -> float:
+        return self.dt * self.substeps
+
+
+def _sphere_inertia(m, r):
+    i = 0.4 * m * r * r
+    return np.diag([i, i, i])
+
+
+def _box_inertia(m, half):
+    hx, hy, hz = half
+    return np.diag(
+        [
+            m / 3.0 * (hy * hy + hz * hz),
+            m / 3.0 * (hx * hx + hz * hz),
+            m / 3.0 * (hx * hx + hy * hy),
+        ]
+    )
+
+
+def _capsule_mass_com_inertia(density, r, p1, p2):
+    """Capsule = cylinder + two hemispherical caps, axis p1->p2 (MuJoCo's
+    density-based computation)."""
+    p1, p2 = np.asarray(p1, np.float64), np.asarray(p2, np.float64)
+    axis = p2 - p1
+    h = np.linalg.norm(axis)
+    center = 0.5 * (p1 + p2)
+
+    m_cyl = density * np.pi * r * r * h
+    m_sph = density * (4.0 / 3.0) * np.pi * r**3
+    m = m_cyl + m_sph
+
+    # inertia about capsule center, z along the axis
+    iz = 0.5 * m_cyl * r * r + 0.4 * m_sph * r * r
+    # cylinder transverse + hemispheres transverse (each hemisphere at h/2 end)
+    i_cyl_t = m_cyl * (3 * r * r + h * h) / 12.0
+    # hemisphere about its own COM: 83/320 m r^2... use full-sphere split:
+    # treat the two caps as one sphere whose halves sit at +-h/2 with the
+    # standard parallel-axis shift used by MuJoCo: I = 0.4 m_s r^2 +
+    # m_s (0.5 h)^2 + (3/8) m_s r h  (exact hemispherical cap formula)
+    i_caps_t = 0.4 * m_sph * r * r + m_sph * (0.25 * h * h + (3.0 / 8.0) * r * h)
+    it = i_cyl_t + i_caps_t
+
+    inertia_local = np.diag([it, it, iz])
+
+    # rotate local z-axis to capsule axis
+    if h > 1e-9:
+        z = axis / h
+    else:
+        z = np.array([0.0, 0.0, 1.0])
+    # build orthonormal frame
+    a = np.array([1.0, 0.0, 0.0]) if abs(z[0]) < 0.9 else np.array([0.0, 1.0, 0.0])
+    x = np.cross(a, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=1)
+    inertia = R @ inertia_local @ R.T
+    return m, center, inertia
+
+
+def _geom_mass_properties(geom):
+    gtype, size, loc, quat, density = geom
+    if gtype == "sphere":
+        r = size[0]
+        m = density * (4.0 / 3.0) * np.pi * r**3
+        return m, np.asarray(loc[1], np.float64), _sphere_inertia(m, r)
+    if gtype == "capsule":
+        r = size[0]
+        ft = loc[1]
+        return _capsule_mass_com_inertia(density, r, ft[:3], ft[3:])
+    if gtype == "box":
+        half = np.asarray(size, np.float64)
+        m = density * 8.0 * half.prod()
+        # boxes in the asset have identity quat
+        return m, np.asarray(loc[1], np.float64), _box_inertia(m, half)
+    raise ValueError(f"unsupported geom type {gtype}")
+
+
+def _geom_contact_points(body_idx, geom):
+    """Candidate ground-contact points: sphere center, capsule endpoints, box
+    bottom+top corners (radius 0 for boxes)."""
+    gtype, size, loc, quat, density = geom
+    pts, radii = [], []
+    if gtype == "sphere":
+        pts.append(np.asarray(loc[1], np.float64))
+        radii.append(size[0])
+    elif gtype == "capsule":
+        ft = np.asarray(loc[1], np.float64)
+        pts += [ft[:3], ft[3:]]
+        radii += [size[0], size[0]]
+    elif gtype == "box":
+        c = np.asarray(loc[1], np.float64)
+        half = np.asarray(size, np.float64)
+        for sx in (-1, 1):
+            for sy in (-1, 1):
+                for sz in (-1, 1):
+                    pts.append(c + half * np.array([sx, sy, sz]))
+                    radii.append(0.0)
+    return [(body_idx, p, r) for p, r in zip(pts, radii)]
+
+
+def build_smpl_model(
+    kp_scale: float = 1.0,
+    kd_scale: float = 1.0,
+    dt: float = 1.0 / 60.0,
+    substeps: int = 2,
+    contact_stiffness: float = 2.0e4,
+    contact_damping: float = 6.0e2,
+    friction: float = 1.0,
+) -> PhysicsModel:
+    """Build the SMPL humanoid physics model from the asset tables.
+
+    kp_scale/kd_scale mirror the reference env config knobs
+    (`config.py:91-92`, applied at `humanoid_phc.py:279-280`).
+    """
+    from phc_tpu.assets import smpl_humanoid as H
+    from phc_tpu.kinematics import _compute_levels
+
+    names = H.body_names()
+    parents = np.asarray(H.parent_indices(), np.int32)
+    offsets = np.asarray(H.local_offsets(), np.float64)
+    J = len(names)
+
+    mass = np.zeros(J)
+    com = np.zeros((J, 3))
+    inertia = np.zeros((J, 3, 3))
+    contact_list = []
+    for i, geom in enumerate(H.geoms()):
+        m, c, I = _geom_mass_properties(geom)
+        mass[i] = m
+        com[i] = c
+        inertia[i] = I
+        contact_list += _geom_contact_points(i, geom)
+
+    gains = H.joint_gains()  # per non-root body: (kp, kd, armature, range_deg)
+    kp = np.repeat([g[0] for g in gains], 3) * kp_scale
+    kd = np.repeat([g[1] for g in gains], 3) * kd_scale
+    armature = np.repeat([g[2] for g in gains], 3)
+    dof_limit = np.deg2rad(np.repeat([g[3] for g in gains], 3))
+
+    ancestor = np.zeros((J, J), bool)
+    for i in range(J):
+        j = i
+        while j != -1:
+            ancestor[i, j] = True
+            j = int(parents[j])
+
+    return PhysicsModel(
+        body_names=names,
+        parents=parents,
+        local_offsets=offsets.astype(np.float32),
+        levels=_compute_levels(parents),
+        ancestor_mask=ancestor,
+        mass=mass.astype(np.float32),
+        com=com.astype(np.float32),
+        inertia=inertia.astype(np.float32),
+        kp=kp.astype(np.float32),
+        kd=kd.astype(np.float32),
+        armature=armature.astype(np.float32),
+        dof_limit=dof_limit.astype(np.float32),
+        contact_body=np.asarray([c[0] for c in contact_list], np.int32),
+        contact_pos=np.asarray([c[1] for c in contact_list], np.float32),
+        contact_radius=np.asarray([c[2] for c in contact_list], np.float32),
+        dt=dt,
+        substeps=substeps,
+        contact_stiffness=contact_stiffness,
+        contact_damping=contact_damping,
+        friction=friction,
+    )
+
+
+def build_pd_action_offset_scale(model: PhysicsModel) -> tuple:
+    """Action [-1,1] -> PD target mapping (reference `humanoid_phc.py:385-446`).
+
+    For 3-dof joints the scale is min(1.2 * max|limit|, pi) per axis, and the
+    knee y-axis scale is overridden to 5 ('stronger knee' hack, :441-446).
+    The offset is zero for symmetric limits.
+    """
+    scale = np.minimum(1.2 * model.dof_limit, np.pi)
+    offset = np.zeros_like(scale)
+    names = [n for n in model.body_names[1:]]
+    l_knee = names.index("L_Knee") * 3 + 1
+    r_knee = names.index("R_Knee") * 3 + 1
+    scale[l_knee] = 5.0
+    scale[r_knee] = 5.0
+    return offset.astype(np.float32), scale.astype(np.float32)

@@ -1,0 +1,166 @@
+"""Actor/critic/discriminator policies in flax.linen.
+
+Port of the reference policy family
+(`/root/reference/puffer_phc/policies/`): `PHCPolicy` (6-layer SiLU MLP
+actor + critic with terminal LayerNorm, `phc_policy.py:22-61`),
+`LSTMCriticPolicy` / `LSTMActorPolicy` (`lstm_policy.py:25-148`), and the
+AMP discriminator head (`discriminator_policy.py:43-79`). Conventions kept:
+
+  * orthogonal init (std sqrt(2), output heads 0.01) — pufferlib's
+    `layer_init`;
+  * fixed non-trainable log-std of -2.9 (`discriminator_policy.py:30-34`);
+  * deterministic-eval clamps std to 1e-6 (`phc_policy.py:51`);
+  * soft bound loss at 0.9 * action-bound (`discriminator_policy.py:103-107`).
+
+Observation normalization lives OUTSIDE the network (see running_norm.py) —
+policies consume already-normalized observations.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+SOFT_BOUND = 0.9
+FIXED_LOGSTD = -2.9
+
+
+def _dense(out, std=jnp.sqrt(2.0)):
+    return nn.Dense(out, kernel_init=nn.initializers.orthogonal(std), bias_init=nn.initializers.zeros)
+
+
+class MLP(nn.Module):
+    sizes: Sequence[int]
+    act: str = "silu"
+    out_std: float = 1.4142135623730951  # sqrt(2)
+
+    @nn.compact
+    def __call__(self, x):
+        act = {"silu": nn.silu, "relu": nn.relu}[self.act]
+        for s in self.sizes[:-1]:
+            x = act(_dense(s)(x))
+        return _dense(self.sizes[-1], std=self.out_std)(x)
+
+
+class PHCPolicy(nn.Module):
+    """MLP actor-critic (reference `phc_policy.py:22-61`).
+
+    Trunks: [obs] -> layer_sizes -> hidden, SiLU between layers, then
+    LayerNorm + SiLU. Heads: mu (std 0.01) and value (std 0.01).
+    """
+
+    action_dim: int
+    hidden_size: int = 512
+    layer_sizes: Tuple[int, ...] = (2048, 1536, 1024, 1024, 512)
+
+    @nn.compact
+    def __call__(self, obs):
+        trunk_sizes = list(self.layer_sizes) + [self.hidden_size]
+
+        a = obs
+        for s in trunk_sizes[:-1]:
+            a = nn.silu(_dense(s)(a))
+        a = _dense(trunk_sizes[-1])(a)
+        a = nn.silu(nn.LayerNorm()(a))
+        mu = _dense(self.action_dim, std=0.01)(a)
+
+        c = obs
+        for s in trunk_sizes[:-1]:
+            c = nn.silu(_dense(s)(c))
+        c = _dense(trunk_sizes[-1])(c)
+        c = nn.silu(nn.LayerNorm()(c))
+        value = _dense(1, std=0.01)(c)[..., 0]
+
+        return mu, value
+
+
+class LSTMCriticPolicy(nn.Module):
+    """MLP actor + LSTM critic (reference `lstm_policy.py:25-87`).
+
+    __call__ consumes a time-major window (T, B, obs) plus carry and scans
+    the critic LSTM; the actor is stateless per step.
+    """
+
+    action_dim: int
+    hidden_size: int = 512
+
+    def setup(self):
+        self.actor = MLP(
+            sizes=(2048, 1536, 1024, 1024, 512, self.hidden_size, self.action_dim),
+            act="silu",
+            out_std=0.01,
+        )
+        self.critic_trunk = MLP(sizes=(2048, 1024, 1024, self.hidden_size), act="relu")
+        self.lstm = nn.OptimizedLSTMCell(self.hidden_size)
+        self.value_head = _dense(1, std=0.01)
+
+    def __call__(self, obs_tm, carry):
+        """obs_tm: (T, B, obs); carry: ((B,H),(B,H)). Returns (mu (T,B,A),
+        value (T,B), new_carry)."""
+        mu = self.actor(obs_tm)
+        enc = nn.relu(self.critic_trunk(obs_tm))
+
+        def scan_fn(cell, c, x):
+            c, h = cell(c, x)
+            return c, h
+
+        scan = nn.transforms.scan(
+            scan_fn, variable_broadcast="params", split_rngs={"params": False}
+        )
+        carry, hs = scan(self.lstm, carry, enc)
+        value = self.value_head(nn.relu(hs))[..., 0]
+        return mu, value, carry
+
+    def initial_carry(self, batch: int):
+        zeros = jnp.zeros((batch, self.hidden_size))
+        return (zeros, zeros)
+
+
+class Discriminator(nn.Module):
+    """AMP discriminator MLP (reference `discriminator_policy.py:43-53`)."""
+
+    hidden_size: int = 512
+
+    @nn.compact
+    def __call__(self, amp_obs):
+        x = nn.relu(_dense(1024)(amp_obs))
+        x = nn.relu(_dense(self.hidden_size)(x))
+        return _dense(1)(x)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Gaussian policy head utilities (fixed sigma)
+# ---------------------------------------------------------------------------
+
+
+def action_std(action_dim: int, deterministic: bool = False) -> jax.Array:
+    std = jnp.exp(jnp.full((action_dim,), FIXED_LOGSTD))
+    if deterministic:
+        std = jnp.minimum(std, 1e-6)
+    return std
+
+
+def sample_action(rng: jax.Array, mu: jax.Array, std: jax.Array) -> jax.Array:
+    return mu + std * jax.random.normal(rng, mu.shape)
+
+
+def gaussian_logprob(mu: jax.Array, std: jax.Array, action: jax.Array) -> jax.Array:
+    """Sum of per-dim Normal log-probs (pufferlib uses Normal(mu, std) with
+    independent dims, `clean_pufferl/core.py:158`)."""
+    var = std * std
+    lp = -0.5 * ((action - mu) ** 2 / var + jnp.log(2.0 * jnp.pi * var))
+    return jnp.sum(lp, axis=-1)
+
+
+def gaussian_entropy(std: jax.Array, action_dim: int) -> jax.Array:
+    return jnp.sum(0.5 * (1.0 + jnp.log(2.0 * jnp.pi)) + jnp.log(std))
+
+
+def bound_loss(mu: jax.Array, soft_bound: float = SOFT_BOUND) -> jax.Array:
+    """Soft action-bound penalty (reference `discriminator_policy.py:103-107`)."""
+    over = jnp.where(mu > soft_bound, (mu - soft_bound) ** 2, 0.0)
+    under = jnp.where(mu < -soft_bound, (mu + soft_bound) ** 2, 0.0)
+    return jnp.mean(over + under)

@@ -1,0 +1,431 @@
+"""Scan-based PPO trainer: one jitted program for rollout + GAE + update.
+
+TPU-native re-design of the reference training runtime
+(`/root/reference/puffer_phc/clean_pufferl/core.py:41-455` and
+`structs.py:23-176`). The reference's epoch is a Python loop crossing the
+host/device boundary every step (vecenv.recv/send, numpy GAE, indexed
+minibatch gathers); here an epoch is:
+
+    rollout  : lax.scan of (policy forward + env step) x T          (device)
+    update   : GAE scan + update_epochs x minibatch scan over grads (device)
+
+with zero host round trips. Truncated steps are handled by *weighting*
+losses with the mask instead of dropping rows (the reference drops them at
+`Experience.store`, `structs.py:113-128` — ragged; we keep static shapes).
+
+All loss components replicate `core.py:299-359`: clipped PG, clipped value
+loss, entropy, AMP discriminator BCE + replay, soft bound loss, L2-init
+regularization, approx-KL early stop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from phc_tpu.config import TrainConfig
+from phc_tpu.env import humanoid_env as henv
+from phc_tpu.rl import policies, running_norm
+from phc_tpu.rl.gae import compute_gae
+from phc_tpu.rl.running_norm import RunningNormState
+
+
+class Trajectory(NamedTuple):
+    """Time-major (T, B, ...) rollout storage (device)."""
+
+    obs: jax.Array
+    actions: jax.Array
+    logprobs: jax.Array
+    values: jax.Array
+    rewards: jax.Array
+    dones: jax.Array  # early terminations only (GAE bootstraps through truncs)
+    truncs: jax.Array
+    amp_obs: jax.Array
+    reward_raw: jax.Array  # (T, B, 5)
+
+
+class PPOState(NamedTuple):
+    """Learner state (device pytree) — the checkpointable unit."""
+
+    params: Any
+    disc_params: Any
+    opt_state: Any
+    obs_norm: RunningNormState
+    amp_norm: RunningNormState
+    initial_params: Any  # L2-init anchor (regenerative reg, core.py:90-94)
+    amp_replay: jax.Array  # (batch, amp_dim) discriminator replay buffer
+    amp_replay_filled: jax.Array  # () bool
+    rng: jax.Array
+    global_step: jax.Array  # () int64-ish float
+    epoch: jax.Array  # () int32
+
+
+@dataclasses.dataclass(frozen=True)
+class PPO:
+    """Static trainer description."""
+
+    cfg: TrainConfig
+    env: henv.HumanoidEnv
+    policy: Any  # flax Module
+    disc: Optional[Any]
+    rollout_steps: int
+    optimizer: Any
+
+    @property
+    def num_envs(self) -> int:
+        return self.env.num_envs
+
+    @property
+    def num_minibatches(self) -> int:
+        return self.cfg.batch_size // self.cfg.minibatch_size
+
+
+def make_ppo(cfg: TrainConfig, env: henv.HumanoidEnv, policy_cfg) -> PPO:
+    policy = policies.PHCPolicy(
+        action_dim=env.num_dofs,
+        hidden_size=policy_cfg.hidden_size,
+        layer_sizes=tuple(policy_cfg.layer_sizes),
+    )
+    disc = policies.Discriminator(hidden_size=policy_cfg.hidden_size) if env.cfg.use_amp_obs else None
+    rollout_steps = cfg.batch_size // env.num_envs
+    assert rollout_steps * env.num_envs == cfg.batch_size, (
+        f"batch_size {cfg.batch_size} must be a multiple of num_envs {env.num_envs}"
+    )
+    assert cfg.batch_size % cfg.minibatch_size == 0
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.adam(cfg.learning_rate, eps=1e-5),
+    )
+    return PPO(cfg=cfg, env=env, policy=policy, disc=disc, rollout_steps=rollout_steps, optimizer=tx)
+
+
+def init_state(ppo: PPO, rng: jax.Array) -> PPOState:
+    env = ppo.env
+    rng, r1, r2 = jax.random.split(rng, 3)
+    obs_dim = env.num_obs
+    params = ppo.policy.init(r1, jnp.zeros((1, obs_dim)))
+    if ppo.disc is not None:
+        disc_params = ppo.disc.init(r2, jnp.zeros((1, env.num_amp_obs)))
+    else:
+        disc_params = {}
+    opt_state = ppo.optimizer.init((params, disc_params))
+    amp_dim = env.num_amp_obs
+    return PPOState(
+        params=params,
+        disc_params=disc_params,
+        opt_state=opt_state,
+        obs_norm=running_norm.init(obs_dim),
+        amp_norm=running_norm.init(amp_dim),
+        initial_params=jax.tree_util.tree_map(jnp.copy, params),
+        amp_replay=jnp.zeros((ppo.cfg.batch_size, amp_dim) if ppo.disc is not None else (1, 1)),
+        amp_replay_filled=jnp.zeros((), bool),
+        rng=rng,
+        global_step=jnp.zeros((), jnp.float32),
+        epoch=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollout (hot loop #1, reference `evaluate` core.py:120-203)
+# ---------------------------------------------------------------------------
+
+
+def policy_forward(ppo: PPO, params, obs_norm: RunningNormState, obs, rng, deterministic=False):
+    normed = running_norm.normalize(obs_norm, obs)
+    mu, value = ppo.policy.apply(params, normed)
+    std = policies.action_std(ppo.env.num_dofs, deterministic)
+    action = policies.sample_action(rng, mu, std)
+    logp = policies.gaussian_logprob(mu, std, action)
+    return action, logp, value, mu
+
+
+def collect_rollout(
+    ppo: PPO, data, state: PPOState, env_state: henv.EnvState, obs: jax.Array
+) -> Tuple[henv.EnvState, jax.Array, Trajectory, dict]:
+    """lax.scan of T policy+env steps. Returns (env_state, last_obs, traj, stats)."""
+
+    def step_fn(carry, _):
+        env_state, obs, rng = carry
+        rng, r_act = jax.random.split(rng)
+        action, logp, value, _ = policy_forward(ppo, state.params, state.obs_norm, obs, r_act)
+        env_state, out = henv.step(ppo.env, data, env_state, action)
+        traj = Trajectory(
+            obs=obs,
+            actions=action,
+            logprobs=logp,
+            values=value,
+            rewards=out.reward,
+            dones=out.terminated.astype(jnp.float32),
+            truncs=out.truncated.astype(jnp.float32),
+            amp_obs=out.amp_obs,
+            reward_raw=out.reward_raw,
+        )
+        return (env_state, out.obs, rng), traj
+
+    rng, r_scan = jax.random.split(state.rng)
+    (env_state, last_obs, _), traj = jax.lax.scan(
+        step_fn, (env_state, obs, r_scan), None, length=ppo.rollout_steps
+    )
+    stats = {
+        "mean_reward": traj.rewards.mean(),
+        "reward_raw": traj.reward_raw.mean(axis=(0, 1)),
+        "termination_rate": traj.dones.mean(),
+        "truncation_rate": traj.truncs.mean(),
+    }
+    return env_state, last_obs, traj, stats
+
+
+# ---------------------------------------------------------------------------
+# Update (hot loop #2, reference `train` core.py:206-440)
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_reward(ppo: PPO, disc_params, amp_norm, amp_obs):
+    """r_amp = -log(max(1 - sigmoid(D), 1e-4)) (core.py:229-242)."""
+    logits = ppo.disc.apply(disc_params, running_norm.normalize(amp_norm, amp_obs))
+    prob = jax.nn.sigmoid(logits)
+    return -jnp.log(jnp.maximum(1.0 - prob, 1e-4))
+
+
+def _masked_mean(x, w):
+    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def update(
+    ppo: PPO,
+    state: PPOState,
+    traj: Trajectory,
+    amp_demo: Optional[jax.Array] = None,
+    pmean_axis: Optional[str] = None,
+) -> Tuple[PPOState, dict]:
+    """PPO update over update_epochs x num_minibatches, all under jit.
+
+    pmean_axis: if set, gradients (and KL/statistics) are averaged across the
+    named mesh axis (data parallelism — replaces the reference's
+    single-process assumption, SURVEY.md §2.9).
+    """
+    cfg = ppo.cfg
+    T, B = traj.rewards.shape
+    mask = 1.0 - traj.truncs  # reference masks truncated steps out
+
+    # running-norm updates (reference train.py:340-346, once per epoch)
+    obs_norm = running_norm.update(state.obs_norm, traj.obs)
+    amp_norm = state.amp_norm
+    rng = state.rng
+
+    rewards = traj.rewards
+    amp_replay = state.amp_replay
+    amp_replay_filled = state.amp_replay_filled
+    if ppo.disc is not None:
+        amp_norm = running_norm.update(amp_norm, traj.amp_obs)
+        r_amp = _adversarial_reward(ppo, state.disc_params, amp_norm, traj.amp_obs)
+        # equal weighting of task + adversarial reward (core.py:248-251)
+        rewards = rewards + r_amp
+        # refresh 1% of the replay buffer with fresh agent obs (structs.py:165-176)
+        flat_amp = traj.amp_obs.reshape(T * B, -1)
+        rng, r_rep = jax.random.split(rng)
+        refresh = jax.random.uniform(r_rep, (T * B,)) < 0.01
+        refresh = jnp.where(amp_replay_filled, refresh, True)
+        n = amp_replay.shape[0]
+        amp_replay = jnp.where(refresh[:n, None], flat_amp[:n], amp_replay)
+        amp_replay_filled = jnp.ones((), bool)
+
+    advantages = compute_gae(
+        traj.dones, traj.values, rewards, cfg.gamma, cfg.gae_lambda, cfg.gae_formula
+    )
+    returns = advantages + traj.values
+
+    # ---- minibatch layout: split envs into num_minibatches groups ----------
+    nmb = ppo.num_minibatches
+    envs_mb = B // nmb
+    assert envs_mb * nmb == B
+
+    def mb_view(x):
+        # (T, B, ...) -> (nmb, T * envs_mb, ...)
+        xs = x.reshape((T, nmb, envs_mb) + x.shape[2:])
+        xs = jnp.moveaxis(xs, 1, 0)
+        return xs.reshape((nmb, T * envs_mb) + x.shape[2:])
+
+    b_obs = mb_view(traj.obs)
+    b_actions = mb_view(traj.actions)
+    b_logprobs = mb_view(traj.logprobs)
+    b_values = mb_view(traj.values)
+    b_adv = mb_view(advantages)
+    b_returns = mb_view(returns)
+    b_mask = mb_view(mask)
+    if ppo.disc is not None:
+        b_amp = mb_view(traj.amp_obs)
+        rng, r_perm = jax.random.split(rng)
+        perm = jax.random.permutation(r_perm, amp_replay.shape[0])
+        b_amp_replay = amp_replay[perm].reshape(nmb, -1, amp_replay.shape[-1])
+        assert amp_demo is not None, "use_amp_obs requires the demo window batch"
+    std = policies.action_std(ppo.env.num_dofs)
+
+    def loss_fn(both_params, mb, amp_demo_mb):
+        params, disc_params = both_params
+        obs_n = running_norm.normalize(obs_norm, mb["obs"])
+        mu, newvalue = ppo.policy.apply(params, obs_n)
+        newlogprob = policies.gaussian_logprob(mu, std, mb["actions"])
+        entropy = policies.gaussian_entropy(std, ppo.env.num_dofs)
+
+        logratio = newlogprob - mb["logprobs"]
+        ratio = jnp.exp(logratio)
+        m = mb["mask"]
+
+        old_approx_kl = _masked_mean(-logratio, m)
+        approx_kl = _masked_mean((ratio - 1.0) - logratio, m)
+        clipfrac = _masked_mean((jnp.abs(ratio - 1.0) > cfg.clip_coef).astype(jnp.float32), m)
+
+        adv = mb["adv"]
+        if cfg.norm_adv:
+            amean = _masked_mean(adv, m)
+            astd = jnp.sqrt(_masked_mean((adv - amean) ** 2, m))
+            adv = (adv - amean) / (astd + 1e-8)
+
+        pg1 = -adv * ratio
+        pg2 = -adv * jnp.clip(ratio, 1.0 - cfg.clip_coef, 1.0 + cfg.clip_coef)
+        pg_loss = _masked_mean(jnp.maximum(pg1, pg2), m)
+
+        if cfg.clip_vloss:
+            v_unclipped = (newvalue - mb["returns"]) ** 2
+            v_clipped_val = mb["values"] + jnp.clip(
+                newvalue - mb["values"], -cfg.vf_clip_coef, cfg.vf_clip_coef
+            )
+            v_clipped = (v_clipped_val - mb["returns"]) ** 2
+            v_loss = _masked_mean(jnp.maximum(v_unclipped, v_clipped), m)
+        else:
+            v_loss = _masked_mean((newvalue - mb["returns"]) ** 2, m)
+
+        mean_bound_loss = policies.bound_loss(mu)
+
+        loss = pg_loss - cfg.ent_coef * entropy + v_loss * cfg.vf_coef
+        loss = loss + cfg.bound_coef * mean_bound_loss
+
+        disc_loss = jnp.zeros(())
+        disc_agent_acc = jnp.zeros(())
+        disc_demo_acc = jnp.zeros(())
+        if ppo.disc is not None:
+            amp_agent = jnp.concatenate([mb["amp"], mb["amp_replay"]], axis=0)
+            agent_logits = ppo.disc.apply(disc_params, running_norm.normalize(amp_norm, amp_agent))
+            demo_logits = ppo.disc.apply(disc_params, running_norm.normalize(amp_norm, amp_demo_mb))
+            bce = lambda logits, target: jnp.mean(
+                jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+            )
+            disc_loss = 0.5 * (bce(agent_logits, 0.0) + bce(demo_logits, 1.0))
+            loss = loss + cfg.disc_coef * disc_loss
+            disc_agent_acc = jnp.mean((agent_logits < 0).astype(jnp.float32))
+            disc_demo_acc = jnp.mean((demo_logits > 0).astype(jnp.float32))
+
+        l2_reg = jnp.zeros(())
+        if cfg.l2_reg_coef > 0:
+            diffs = jax.tree_util.tree_map(
+                lambda p, p0: jnp.mean((p - p0) ** 2), params, state.initial_params
+            )
+            l2_reg = jax.tree_util.tree_reduce(jnp.add, diffs)
+            loss = loss + cfg.l2_reg_coef * l2_reg
+
+        aux = {
+            "policy_loss": pg_loss,
+            "value_loss": v_loss,
+            "entropy": entropy,
+            "old_approx_kl": old_approx_kl,
+            "approx_kl": approx_kl,
+            "clipfrac": clipfrac,
+            "mean_bound_loss": mean_bound_loss,
+            "disc_loss": disc_loss,
+            "disc_agent_acc": disc_agent_acc,
+            "disc_demo_acc": disc_demo_acc,
+            "l2_init_reg_loss": l2_reg,
+        }
+        return loss, aux
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def minibatch_step(carry, idx):
+        params, disc_params, opt_state, stop = carry
+        mb = {
+            "obs": b_obs[idx],
+            "actions": b_actions[idx],
+            "logprobs": b_logprobs[idx],
+            "values": b_values[idx],
+            "adv": b_adv[idx],
+            "returns": b_returns[idx],
+            "mask": b_mask[idx],
+        }
+        if ppo.disc is not None:
+            mb["amp"] = b_amp[idx]
+            mb["amp_replay"] = b_amp_replay[idx]
+            amp_demo_mb = amp_demo
+        else:
+            amp_demo_mb = None
+        (loss, aux), grads = grad_fn((params, disc_params), mb, amp_demo_mb)
+        if pmean_axis is not None:
+            grads = jax.lax.pmean(grads, pmean_axis)
+            aux = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, pmean_axis), aux)
+
+        updates, new_opt_state = ppo.optimizer.update(grads, opt_state, (params, disc_params))
+        new_params, new_disc = optax.apply_updates((params, disc_params), updates)
+
+        # target-KL early stop (core.py:400-402): once KL exceeds the target,
+        # skip all remaining minibatch updates (masked, shapes static)
+        if cfg.target_kl is not None:
+            new_stop = stop | (aux["approx_kl"] > cfg.target_kl)
+        else:
+            new_stop = stop
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stop, b, a), new, old
+        )
+        params = keep(new_params, params)
+        disc_params = keep(new_disc, disc_params)
+        opt_state = keep(new_opt_state, opt_state)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return (params, disc_params, opt_state, new_stop), aux
+
+    # epoch x minibatch scan (static trip count: update_epochs * nmb)
+    mb_order = jnp.tile(jnp.arange(nmb), cfg.update_epochs)
+    carry = (state.params, state.disc_params, state.opt_state, jnp.zeros((), bool))
+    (params, disc_params, opt_state, _), auxes = jax.lax.scan(minibatch_step, carry, mb_order)
+
+    losses = jax.tree_util.tree_map(lambda x: x.mean(), auxes)
+    y_true = returns
+    var_y = jnp.var(y_true)
+    losses["explained_variance"] = jnp.where(
+        var_y == 0, jnp.nan, 1.0 - jnp.var(y_true - traj.values) / var_y
+    )
+
+    new_state = state._replace(
+        params=params,
+        disc_params=disc_params,
+        opt_state=opt_state,
+        obs_norm=obs_norm,
+        amp_norm=amp_norm,
+        amp_replay=amp_replay,
+        amp_replay_filled=amp_replay_filled,
+        rng=rng,
+        global_step=state.global_step + jnp.sum(mask),
+        epoch=state.epoch + 1,
+    )
+    return new_state, losses
+
+
+def train_step(
+    ppo: PPO,
+    data,
+    state: PPOState,
+    env_state: henv.EnvState,
+    obs: jax.Array,
+    pmean_axis: Optional[str] = None,
+):
+    """One full epoch: rollout + update. Jit (or shard_map) this."""
+    env_state, obs, traj, roll_stats = collect_rollout(ppo, data, state, env_state, obs)
+    amp_demo = henv.fetch_amp_obs_demo(ppo.env, env_state) if ppo.disc is not None else None
+    state, losses = update(ppo, state, traj, amp_demo=amp_demo, pmean_axis=pmean_axis)
+    if pmean_axis is not None:
+        roll_stats = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, pmean_axis), roll_stats)
+    return state, env_state, obs, {**losses, **roll_stats}
