@@ -1,0 +1,148 @@
+"""Device mesh + sharding layer: scale the env batch across chips and hosts.
+
+The reference has NO distributed backend (single process, single GPU —
+SURVEY.md §2.9 / §5.8); this module is the TPU-native capability it lacks:
+
+  * a (data, model) `jax.sharding.Mesh` over all available devices
+    (ICI within a slice, DCN across slices via `jax.distributed`),
+  * NamedShardings for the env/rollout batch (sharded over `data`) and for
+    parameters (replicated, or hidden-dim sharded over `model` for the
+    optional tensor-parallel MLP),
+  * `shard_map`-based train-step wrapping with `psum`/`pmean` gradient
+    reduction across the data axis.
+
+The env-batch dimension is the natural data axis: every per-env array in
+EnvState/Trajectory has batch leading, so a single PartitionSpec('data')
+prefix shards the entire rollout; parameters and motion data are replicated
+(motion frames are read-only gathers, cheap to replicate; sharding them
+over `data` hosts is a host-loading concern, see motionlib).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshSpec:
+    mesh: Mesh
+
+    @property
+    def data_size(self) -> int:
+        return self.mesh.shape[DATA_AXIS]
+
+    @property
+    def model_size(self) -> int:
+        return self.mesh.shape[MODEL_AXIS]
+
+    def batch_sharding(self) -> NamedSharding:
+        """Leading-axis sharding for env-batched arrays."""
+        return NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    def shard_batch(self, tree):
+        """Place every array in a pytree with its batch axis sharded."""
+        sh = self.batch_sharding()
+
+        def place(x):
+            spec = P(DATA_AXIS) if getattr(x, "ndim", 0) >= 1 else P()
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return jax.tree_util.tree_map(place, tree)
+
+    def replicate(self, tree):
+        sh = self.replicated()
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> MeshSpec:
+    """Build a (data, model) mesh. data_axis=-1 uses all remaining devices.
+
+    Multi-host: call `jax.distributed.initialize()` before this (see
+    `initialize_distributed`); `jax.devices()` then spans all hosts and the
+    mesh is laid out so that the data axis maps to ICI-adjacent devices
+    first (mesh_utils default ordering).
+    """
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data_axis == -1:
+        assert n % model_axis == 0, f"{n} devices not divisible by model={model_axis}"
+        data_axis = n // model_axis
+    assert data_axis * model_axis == n, (
+        f"mesh {data_axis}x{model_axis} != {n} devices"
+    )
+    if data_axis * model_axis == 1:
+        dev_array = np.asarray(devices).reshape(1, 1)
+    else:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh((data_axis, model_axis), devices=devices)
+    return MeshSpec(mesh=Mesh(dev_array, (DATA_AXIS, MODEL_AXIS)))
+
+
+def initialize_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None):
+    """Multi-host bring-up over DCN (reference analog: none — SURVEY.md §5.8).
+
+    On TPU pods with standard env vars, bare `jax.distributed.initialize()`
+    autodetects everything.
+    """
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(
+            coordinator_address=coordinator, num_processes=num_processes, process_id=process_id
+        )
+    jax.distributed.initialize(**kwargs)
+
+
+def shard_train_step(mesh_spec: MeshSpec, train_step_fn):
+    """Wrap a per-shard train step with shard_map over the data axis.
+
+    `train_step_fn(state, env_state, obs, data)` must accept a
+    `pmean_axis` kwarg (see ppo.update) so gradients/statistics reduce over
+    the data axis; learner state is replicated, env state is sharded.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    mesh = mesh_spec.mesh
+    pspec_batch = P(DATA_AXIS)
+    pspec_rep = P()
+
+    def spec_for_batched(tree):
+        return jax.tree_util.tree_map(
+            lambda x: pspec_batch if getattr(x, "ndim", 0) >= 1 else pspec_rep, tree
+        )
+
+    def wrapped(state, env_state, obs, data):
+        fn = partial(train_step_fn, pmean_axis=DATA_AXIS)
+        in_specs = (
+            jax.tree_util.tree_map(lambda _: pspec_rep, state),
+            spec_for_batched(env_state),
+            pspec_batch,
+            jax.tree_util.tree_map(lambda _: pspec_rep, data),
+        )
+        out_specs = (
+            jax.tree_util.tree_map(lambda _: pspec_rep, state),
+            spec_for_batched(env_state),
+            pspec_batch,
+            pspec_rep,  # stats already pmean'd
+        )
+
+        def body(state, env_state, obs, data):
+            return fn(data=data, state=state, env_state=env_state, obs=obs)
+
+        return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)(
+            state, env_state, obs, data
+        )
+
+    return wrapped

@@ -5,7 +5,7 @@ from phc_tpu.physics.engine import (
     forward_kinematics,
     mass_matrix,
     bias_forces,
-    ground_contact_forces,
+    contact_kinematics,
     step,
     state_from_parts,
     default_state,
@@ -22,7 +22,7 @@ __all__ = [
     "forward_kinematics",
     "mass_matrix",
     "bias_forces",
-    "ground_contact_forces",
+    "contact_kinematics",
     "step",
     "state_from_parts",
     "default_state",

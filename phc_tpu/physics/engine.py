@@ -33,6 +33,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# Dynamics contractions must be exact fp32: the default (TPU bf16 MXU
+# passes) loses ~1e-3 relative precision, which corrupts the mass matrix
+# (lever-arm terms m*c^2 are large); HIGHEST uses multi-pass fp32 on MXU.
+_PREC = jax.lax.Precision.HIGHEST
+
 from phc_tpu import transforms as T
 from phc_tpu.physics.model import PhysicsModel
 
@@ -134,10 +139,10 @@ def _spatial_inertia_world(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
     R = T.quat_to_rotmat(frame.rot)  # (B, J, 3, 3)
     m = jnp.asarray(model.mass)[None, :, None, None]
     com_w = frame.pos + T.quat_rotate(frame.rot, jnp.asarray(model.com))
-    I_com = jnp.einsum("bjxy,jyz,bjwz->bjxw", R, jnp.asarray(model.inertia), R)
+    I_com = jnp.einsum("bjxy,jyz,bjwz->bjxw", R, jnp.asarray(model.inertia), R, precision=_PREC)
     C = _skew(com_w)  # (B, J, 3, 3)
     eye = jnp.broadcast_to(jnp.eye(3), C.shape)
-    top_left = I_com + m * (C @ jnp.swapaxes(C, -1, -2))
+    top_left = I_com + m * jnp.einsum("bjxy,bjzy->bjxz", C, C, precision=_PREC)
     top_right = m * C
     bot_left = m * jnp.swapaxes(C, -1, -2)
     bot_right = m * eye
@@ -198,9 +203,9 @@ def mass_matrix(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
 
     dof_body = _dof_body_ids(model)
     Ic_d = Ic[:, jnp.asarray(dof_body)]  # (B, N, 6, 6)
-    F = jnp.einsum("bnij,bnj->bni", Ic_d, S)  # (B, N, 6)
+    F = jnp.einsum("bnij,bnj->bni", Ic_d, S, precision=_PREC)  # (B, N, 6)
 
-    M_full = jnp.einsum("bni,bmi->bnm", F, S)  # MXU batched matmul
+    M_full = jnp.einsum("bni,bmi->bnm", F, S, precision=_PREC)  # MXU batched matmul
 
     # mask: M[d1, d2] valid where body(d2) is ancestor-or-self of body(d1)
     anc = model.ancestor_mask[np.ix_(dof_body, dof_body)]  # (N, N)
@@ -227,11 +232,17 @@ def bias_forces(model: PhysicsModel, frame: BodyFrame, state: PhysicsState) -> j
     v_o = frame.lin_vel - jnp.cross(frame.ang_vel, frame.pos)
     v_sp = jnp.concatenate([frame.ang_vel, v_o], axis=-1)  # (B, J, 6)
 
-    # bias acceleration: a_i = a_parent + v_i x (S_i qdot_i); a_root includes
-    # the gravity trick (base accelerates upward at -g).
+    # Bias acceleration. Children: a_i = a_parent + v_i x (S_i qdot_i) —
+    # valid because ball-joint axes are attached to the child body. The
+    # free root is different: its translational axes are WORLD-fixed, so
+    # Sdot*qdot = [0; -omega x v_lin] must be added explicitly, on top of
+    # the gravity trick (base accelerates upward at -g). Without this term
+    # the root bias is wrong whenever the root translates while rotating
+    # (verified against MuJoCo qfrc_bias to machine precision).
     g = jnp.array([0.0, 0.0, model.gravity])
+    root_sdot_qdot = -jnp.cross(frame.ang_vel[:, 0], state.vel[:, 0:3])
     a = jnp.zeros((B, J, 6))
-    a = a.at[:, 0, 3:].set(-g)  # [0; -g] so gravity enters the bias
+    a = a.at[:, 0, 3:].set(-g + root_sdot_qdot)
 
     joint_omega = state.vel[:, 6:].reshape(B, J - 1, 3)
     for level in model.levels[1:]:
@@ -249,8 +260,8 @@ def bias_forces(model: PhysicsModel, frame: BodyFrame, state: PhysicsState) -> j
         a = a.at[:, ids].set(a[:, par] + jnp.concatenate([xm_ang, xm_lin], axis=-1))
 
     I_sp = _spatial_inertia_world(model, frame)
-    Iv = jnp.einsum("bjik,bjk->bji", I_sp, v_sp)
-    Ia = jnp.einsum("bjik,bjk->bji", I_sp, a)
+    Iv = jnp.einsum("bjik,bjk->bji", I_sp, v_sp, precision=_PREC)
+    Ia = jnp.einsum("bjik,bjk->bji", I_sp, a, precision=_PREC)
 
     # force-space cross product: v x* f = [w x n + v x f; w x f]
     w = v_sp[..., :3]
@@ -269,7 +280,7 @@ def bias_forces(model: PhysicsModel, frame: BodyFrame, state: PhysicsState) -> j
 
     S = _motion_subspace(model, frame)
     dof_body = jnp.asarray(_dof_body_ids(model))
-    return jnp.einsum("bni,bni->bn", S, f_acc[:, dof_body])
+    return jnp.einsum("bni,bni->bn", S, f_acc[:, dof_body], precision=_PREC)
 
 
 # ---------------------------------------------------------------------------
@@ -277,13 +288,13 @@ def bias_forces(model: PhysicsModel, frame: BodyFrame, state: PhysicsState) -> j
 # ---------------------------------------------------------------------------
 
 
-def ground_contact_forces(model: PhysicsModel, frame: BodyFrame):
-    """Per-candidate-point world contact force and application point.
+def contact_kinematics(model: PhysicsModel, frame: BodyFrame):
+    """Ground-contact candidate state: world points, velocities, penetration.
 
-    Returns (points (B,P,3), forces (B,P,3), contact_force_per_body (B,J,3)).
-    Penalty normal (stiffness*depth + damping*approach speed, one-sided) with
-    velocity-regularized Coulomb friction — the XLA-friendly stand-in for
-    PhysX's iterative solver (reference sim params `isaacgym_env.py:15-27`).
+    Candidate points come from the collision geometry (sphere centers,
+    capsule endpoints, box corners — see model.py); the plane is z=0 with
+    the reference's material (friction 1.0, restitution 0,
+    `envs/isaacgym_env.py:15-27`, `humanoid_phc.py:255-262`).
     """
     body = jnp.asarray(model.contact_body)
     p_local = jnp.asarray(model.contact_pos)
@@ -294,36 +305,29 @@ def ground_contact_forces(model: PhysicsModel, frame: BodyFrame):
     p_world = pos_b + T.quat_rotate(rot_b, p_local)  # (B, P, 3)
     v_point = frame.lin_vel[:, body] + jnp.cross(frame.ang_vel[:, body], p_world - pos_b)
 
-    depth = p_world[..., 2] - radius  # signed distance to plane
-    pen = jnp.maximum(-depth, 0.0)
-    active = pen > 0.0
-
-    v_n = v_point[..., 2]
-    f_n = model.contact_stiffness * pen - model.contact_damping * v_n * active
-    f_n = jnp.maximum(f_n, 0.0) * active
-
-    v_t = v_point[..., :2]
-    v_t_norm = jnp.linalg.norm(v_t, axis=-1, keepdims=True)
-    # smooth Coulomb: full mu*fn beyond eps, linear inside
-    scale = jnp.minimum(v_t_norm / model.contact_vel_eps, 1.0)
-    f_t = -model.friction * f_n[..., None] * scale * v_t / jnp.maximum(v_t_norm, 1e-8)
-
-    forces = jnp.concatenate([f_t, f_n[..., None]], axis=-1)  # (B, P, 3)
-
-    # aggregate per body for the env's contact_forces buffer
-    B = frame.rot.shape[0]
-    cbf = jnp.zeros((B, model.num_bodies, 3)).at[:, body].add(forces)
-    return p_world, forces, cbf
+    pen = jnp.maximum(radius - p_world[..., 2], 0.0)  # penetration depth >= 0
+    active = (pen > 0.0).astype(p_world.dtype)
+    return p_world, v_point, pen, active
 
 
-def _contact_generalized_forces(model, frame, S, points, forces):
-    """Project point forces into joint space: Q = S^T [p x f; f], masked to
-    ancestors of the contact body."""
-    F_sp = jnp.concatenate([jnp.cross(points, forces), forces], axis=-1)  # (B, P, 6)
-    proj = jnp.einsum("bni,bpi->bnp", S, F_sp)  # (B, N, P)
+def contact_jacobian(model: PhysicsModel, S: jax.Array, points: jax.Array) -> jax.Array:
+    """J (B, N, P, 3): generalized-coordinate rows of each contact point's
+    world-velocity components. Row (d, p, axis) = S_d . [p x e_axis; e_axis],
+    masked so only ancestors of the contact body contribute.
+
+    The same rows map world point-forces to generalized forces (Q = J f) —
+    the role gymtorch's pointer aliasing + PhysX's internal solver played in
+    the reference, now one einsum.
+    """
+    B, P = points.shape[:2]
+    eye = jnp.eye(3)
+    # Plücker force vector per (point, axis): [p x e; e]  -> (B, P, 3, 6)
+    p_cross_e = jnp.cross(points[..., None, :], eye)  # (B, P, 3, 3)
+    W = jnp.concatenate([p_cross_e, jnp.broadcast_to(eye, p_cross_e.shape)], axis=-1)
+    J = jnp.einsum("bni,bpai->bnpa", S, W, precision=_PREC)  # (B, N, P, 3)
     dof_body = _dof_body_ids(model)
     mask = model.ancestor_mask[model.contact_body][:, dof_body].T  # (N, P)
-    return jnp.sum(proj * jnp.asarray(mask)[None], axis=-1)  # (B, N)
+    return J * jnp.asarray(mask)[None, :, :, None]
 
 
 # ---------------------------------------------------------------------------
@@ -377,12 +381,39 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     tau_act = pd_actuation(model, state, pd_target, dt)
     tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
 
-    points, forces, cbf = ground_contact_forces(model, frame)
-    Q_contact = _contact_generalized_forces(model, frame, S, points, forces)
+    # ---- linearly-implicit ground contacts --------------------------------
+    # Spring-damper contact evaluated at the END-of-step velocity:
+    #   f_n = k*pen - (d + k*dt) * v_n(t+dt),  f_t = -c_t * v_t(t+dt)
+    # with c_t = mu*f_n_pred/(|v_t|+eps) (regularized Coulomb, coefficient
+    # frozen at the current state). Moving the velocity terms to the LHS
+    # (LHS += dt * J diag(c) J^T) makes the stiff contact unconditionally
+    # stable in ONE Cholesky solve — no PGS iterations, no bounce explosion.
+    points, v_point, pen, active = contact_kinematics(model, frame)
+    Jc = contact_jacobian(model, S, points)  # (B, N, P, 3)
 
-    # implicit joint damping (stable PD): LHS += dt * Kd
+    k, d = model.contact_stiffness, model.contact_damping
+    f_n_pred = jnp.maximum(k * pen - d * v_point[..., 2], 0.0) * active
+    v_t_norm = jnp.linalg.norm(v_point[..., :2], axis=-1)
+    c_t = model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps)
+    c_n = (d + k * dt) * active
+
+    # per-(point, axis) implicit viscous coefficients
+    coef = jnp.stack([c_t, c_t, c_n], axis=-1)  # (B, P, 3)
+
+    # explicit RHS force at current velocities
+    f_expl = jnp.concatenate(
+        [
+            -c_t[..., None] * v_point[..., :2],
+            (k * pen * active - c_n * v_point[..., 2])[..., None],
+        ],
+        axis=-1,
+    )  # (B, P, 3)
+    Q_contact = jnp.einsum("bnpa,bpa->bn", Jc, f_expl, precision=_PREC)
+
+    # implicit joint damping (stable PD): LHS += dt * Kd, plus contact terms
     kd_full = jnp.concatenate([jnp.zeros(6), jnp.asarray(model.kd)])
     lhs = M + jnp.diag(dt * kd_full)[None]
+    lhs = lhs + dt * jnp.einsum("bnpa,bpa,bmpa->bnm", Jc, coef, Jc, precision=_PREC)
 
     rhs = tau + Q_contact - C
 
@@ -390,6 +421,17 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     qacc = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
 
     v_new = state.vel + dt * qacc
+
+    # post-solve contact forces for the env's contact buffer (diagnostic)
+    v_point_new = v_point + dt * jnp.einsum("bnpa,bn->bpa", Jc, qacc, precision=_PREC)
+    f_post = jnp.concatenate(
+        [
+            -c_t[..., None] * v_point_new[..., :2],
+            jnp.maximum(k * pen * active - c_n * v_point_new[..., 2], 0.0)[..., None],
+        ],
+        axis=-1,
+    )
+    cbf = jnp.zeros((B, model.num_bodies, 3)).at[:, jnp.asarray(model.contact_body)].add(f_post)
 
     # integrate: root position (world), quaternions via exponential map
     root_pos = state.root_pos + dt * v_new[:, 0:3]

@@ -1,0 +1,202 @@
+"""Train / eval / play entry point.
+
+TPU-native port of the reference CLI (`/root/reference/scripts/train.py`):
+modes train|eval|play, the outer epoch loop with motion resampling every
+`motion_resample_interval` epochs and evaluation every `eval_interval`
+(reference :291-381), checkpointing, and the PMCP curriculum hook.
+
+Usage:
+  python scripts/train.py --mode train --env.motion-file <pkl> \
+      --env.num-envs 4096 --train.total-timesteps 500000000
+"""
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_compile"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import time
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from phc_tpu.config import AppConfig, parse_cli, config_to_dict
+from phc_tpu.env import humanoid_env as henv
+from phc_tpu.motionlib import MotionLib
+from phc_tpu.parallel import make_mesh
+from phc_tpu.rl import ppo as ppo_mod
+from phc_tpu.rl import policies, running_norm
+from phc_tpu.runtime import checkpoint as ckpt_mod
+from phc_tpu.runtime.dashboard import PhaseProfiler, print_dashboard, abbreviate
+from phc_tpu.runtime.eval_harness import evaluate_policy
+from phc_tpu.runtime.metrics import StatsAggregator
+
+
+def build(cfg: AppConfig):
+    lib = MotionLib(
+        cfg.env.motion_file,
+        min_length=cfg.env.min_motion_len,
+        max_length=cfg.env.max_episode_length,
+        is_deterministic=False,
+        step_dt=cfg.env.physics.sim_timestep * cfg.env.physics.control_freq_inv,
+        frame_capacity=cfg.env.motion_frame_capacity,
+        seed=cfg.train.seed,
+    )
+    B = cfg.env.num_envs
+    # initial even sampling over the corpus (reference humanoid_phc.py:642-646)
+    sample_idxes = lib.even_sample_indices(B)
+    data = lib.load_motions(num_motions=B, sample_idxes=sample_idxes)
+    if lib.frame_capacity is None:
+        # fix the packed-buffer capacity at 1.25x the first load so future
+        # resamples never retrace
+        lib.frame_capacity = int(data.gts.shape[0] * 1.25) + 1
+        data = lib.load_motions(num_motions=B, sample_idxes=sample_idxes)
+
+    env = henv.make_env(cfg.env, motion_ids=np.arange(B, dtype=np.int64))
+    ppo = ppo_mod.make_ppo(cfg.train, env, cfg.policy)
+    return lib, data, env, ppo
+
+
+def mode_train(cfg: AppConfig):
+    lib, data, env, ppo = build(cfg)
+    mesh = make_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    print(f"devices: {jax.devices()}; mesh: data={mesh.data_size} model={mesh.model_size}")
+
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    rng, r_init, r_env = jax.random.split(rng, 3)
+    state = ppo_mod.init_state(ppo, r_init)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    print(f"Model size: {abbreviate(n_params)} parameters")
+
+    env_state, obs = jax.jit(lambda d, r: henv.reset_all(env, d, r))(data, r_env)
+
+    train_step = jax.jit(lambda d, s, es, o: ppo_mod.train_step(ppo, d, s, es, o))
+
+    if cfg.checkpoint_path:
+        state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
+        print(f"restored checkpoint {cfg.checkpoint_path}")
+
+    profile = PhaseProfiler()
+    stats_agg = StatsAggregator()
+    epoch = int(np.asarray(state.epoch))
+    global_step = float(np.asarray(state.global_step))
+
+    while global_step < cfg.train.total_timesteps:
+        # --- motion resampling (reference train.py:326-333) -----------------
+        if epoch > 0 and epoch % cfg.train.motion_resample_interval == 0:
+            with profile.phase("resample"):
+                data = lib.load_motions(num_motions=cfg.env.num_envs)
+                rng, r_env = jax.random.split(rng)
+                env_state, obs = jax.jit(lambda d, r: henv.reset_all(env, d, r))(data, r_env)
+
+        # --- eval + PMCP (reference train.py:314-324) ------------------------
+        if cfg.train.eval_interval > 0 and epoch > 0 and epoch % cfg.train.eval_interval == 0:
+            with profile.phase("eval"):
+                results = run_eval(cfg, lib, ppo, state)
+                stats_agg.add_dict(results)
+                print(json.dumps(results))
+
+        with profile.phase("train", sync_tree=None):
+            state, env_state, obs, losses = train_step(data, state, env_state, obs)
+            jax.block_until_ready(losses)
+
+        epoch += 1
+        new_global = float(np.asarray(state.global_step))
+        profile.total_steps += new_global - global_step
+        global_step = new_global
+
+        if epoch % 10 == 0 or epoch == 1:
+            loss_host = {k: float(np.asarray(v)) for k, v in losses.items() if np.asarray(v).ndim == 0}
+            print_dashboard(
+                cfg.env.name, global_step, epoch, profile, loss_host, stats_agg.means(), use_rich=False
+            )
+
+        if epoch % cfg.train.checkpoint_interval == 0:
+            path = ckpt_mod.save_checkpoint(
+                cfg.train.data_dir, cfg.exp_name, epoch, state, config_to_dict(cfg)
+            )
+            print(f"checkpoint saved: {path}")
+
+    path = ckpt_mod.save_checkpoint(cfg.train.data_dir, cfg.exp_name, epoch, state, config_to_dict(cfg))
+    print(f"final checkpoint: {path}")
+
+
+def run_eval(cfg: AppConfig, lib, ppo, state):
+    """Deterministic-policy sweep over the motion corpus + PMCP update."""
+
+    def act_fn(obs):
+        normed = running_norm.normalize(state.obs_norm, obs)
+        mu, _ = ppo.policy.apply(state.params, normed)
+        return mu  # deterministic (std clamped, reference phc_policy.py:51)
+
+    act_fn = jax.jit(act_fn)
+    results, by_motion, failed_keys = evaluate_policy(
+        cfg.env, lib, act_fn, num_envs=cfg.env.num_envs, max_steps_cap=cfg.env.max_motion_len
+    )
+    # PMCP curriculum (reference humanoid_phc.py:1440-1454)
+    if cfg.env.auto_pmcp:
+        lib.update_hard_sampling_weight(failed_keys)
+    elif cfg.env.auto_pmcp_soft:
+        lib.update_soft_sampling_weight(failed_keys)
+    return results
+
+
+def mode_eval(cfg: AppConfig):
+    lib, data, env, ppo = build(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = ppo_mod.init_state(ppo, rng)
+    if cfg.checkpoint_path:
+        state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
+    results = run_eval(cfg, lib, ppo, state)
+    print(json.dumps(results, indent=2))
+    out = Path(cfg.train.data_dir) / cfg.exp_name / "eval_results.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(results, indent=2))
+
+
+def mode_play(cfg: AppConfig):
+    """Deterministic rollout dumping body positions for offline visualization
+    (the TPU-native analog of the reference's live viewer, render_env.py —
+    see scripts/vis_motion_mj.py to replay the dump in MuJoCo's viewer)."""
+    lib, data, env, ppo = build(cfg)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = ppo_mod.init_state(ppo, rng)
+    if cfg.checkpoint_path:
+        state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
+
+    act = jax.jit(
+        lambda o: ppo.policy.apply(state.params, running_norm.normalize(state.obs_norm, o))[0]
+    )
+    step_j = jax.jit(lambda d, s, a: henv.step(env, d, s, a))
+    rng, r = jax.random.split(rng)
+    env_state, obs = jax.jit(lambda d, rr: henv.reset_all(env, d, rr))(data, r)
+
+    from phc_tpu.physics import forward_kinematics
+
+    frames = []
+    for t in range(cfg.env.max_episode_length):
+        env_state, out = step_j(data, env_state, act(obs))
+        obs = out.obs
+        frame = jax.jit(lambda p: forward_kinematics(env.model, p))(env_state.physics)
+        frames.append(np.asarray(frame.pos[0]))
+    out_path = Path(cfg.train.data_dir) / cfg.exp_name / "play_rollout.npz"
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out_path, body_pos=np.stack(frames))
+    print(f"rollout saved: {out_path} ({len(frames)} frames)")
+
+
+if __name__ == "__main__":
+    cfg = parse_cli()
+    if cfg.mode == "train":
+        mode_train(cfg)
+    elif cfg.mode == "eval":
+        mode_eval(cfg)
+    elif cfg.mode == "play":
+        mode_play(cfg)
+    else:
+        raise SystemExit(f"unknown mode {cfg.mode}")
