@@ -364,10 +364,18 @@ class MotionLib:
             trans[:, 0] = cos * x - sin * y
             trans[:, 1] = sin * x + cos * y
 
-        # --- FK over all frames at once (host numpy: frame counts vary per
-        # reload, so a device FK would retrace for every new shape) ----------
+        # --- FK over all frames at once (host-side: frame counts vary per
+        # reload, so a device FK would retrace for every new shape). Uses the
+        # threaded C++ kernel when built (phc_tpu/native, the role of the
+        # reference's multiprocess torch workers), numpy otherwise. ----------
+        from phc_tpu import native
+
         lrs = K.global_to_local_rotations_np(self.tree, grot)
-        grs, gts = K.forward_kinematics_np(self.tree, lrs, trans)
+        fk_out = native.fk(lrs, trans, self.tree.parent_indices, self.tree.local_translation)
+        if fk_out is not None:
+            grs, gts = fk_out
+        else:
+            grs, gts = K.forward_kinematics_np(self.tree, lrs, trans)
 
         # --- ground-height fix (geometry-based) -----------------------------
         # The reference lowers clips so the SMPL *mesh* touches the ground
@@ -391,12 +399,17 @@ class MotionLib:
         gvs = np.zeros_like(gts)
         gavs = np.zeros((Ftot, len(self.tree), 3), np.float32)
         dvs = np.zeros((Ftot, len(self.tree) - 1, 3), np.float32)
+        use_native = native.available()
         for i in range(len(clips)):
             s, f = int(starts[i]), int(num_frames[i])
-            dt = 1.0 / fpss[i]
-            gvs[s : s + f] = K.compute_linear_velocity(gts[s : s + f], dt)
-            gavs[s : s + f] = K.compute_angular_velocity(grs[s : s + f], dt)
-            dvs[s : s + f] = K.compute_dof_velocities(lrs[s : s + f], fpss[i])
+            if use_native:
+                out = native.motion_derivatives(gts[s : s + f], grs[s : s + f], lrs[s : s + f], fpss[i])
+                gvs[s : s + f], gavs[s : s + f], dvs[s : s + f] = out
+            else:
+                dt = 1.0 / fpss[i]
+                gvs[s : s + f] = K.compute_linear_velocity(gts[s : s + f], dt)
+                gavs[s : s + f] = K.compute_angular_velocity(grs[s : s + f], dt)
+                dvs[s : s + f] = K.compute_dof_velocities(lrs[s : s + f], fpss[i])
 
         # --- pad to capacity so reloads never retrace -----------------------
         cap = self.frame_capacity or Ftot
