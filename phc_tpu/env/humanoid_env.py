@@ -51,12 +51,14 @@ class EnvState(NamedTuple):
     """Per-env dynamic state (device pytree)."""
 
     physics: PhysicsState
+    motion_ids: jax.Array  # (B,) int32 motion each env imitates (dynamic,
+    #   like the reference's _sampled_motion_ids; shards with the batch)
     progress: jax.Array  # (B,) int32 steps since reset
     motion_times_start: jax.Array  # (B,) f32 motion time at reset
     motion_offset: jax.Array  # (B, 3) world-position offset of the reference
     amp_obs_hist: jax.Array  # (B, S, A) AMP obs ring, [:, 0] = newest
     amp_obs_demo: jax.Array  # (B, S, A) demo AMP windows for the discriminator
-    rng: jax.Array
+    rng: jax.Array  # (B, 2) per-env PRNG keys (shards over the data axis)
 
 
 class StepOutput(NamedTuple):
@@ -72,11 +74,15 @@ class StepOutput(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class HumanoidEnv:
-    """Static environment description (trace-time constant)."""
+    """Static environment description (trace-time constant).
+
+    Deliberately contains NO per-env arrays: all batch-shaped data lives in
+    EnvState so the same HumanoidEnv works at any shard-local batch size
+    under shard_map.
+    """
 
     cfg: EnvConfig
     model: PhysicsModel
-    motion_ids: np.ndarray  # (B,) which loaded motion each env imitates
     # static index arrays
     key_body_ids: np.ndarray
     reset_body_ids: np.ndarray
@@ -90,7 +96,7 @@ class HumanoidEnv:
 
     @property
     def num_envs(self) -> int:
-        return len(self.motion_ids)
+        return self.cfg.num_envs
 
     @property
     def num_bodies(self) -> int:
@@ -126,7 +132,9 @@ class HumanoidEnv:
         return self.model.control_dt
 
 
-def make_env(cfg: EnvConfig, motion_ids: np.ndarray, eval_mode: bool = False) -> HumanoidEnv:
+def make_env(cfg: EnvConfig, motion_ids=None, eval_mode: bool = False) -> HumanoidEnv:
+    """motion_ids is accepted for backward compatibility and ignored — the
+    per-env motion assignment is dynamic state (pass it to reset_all)."""
     model = build_smpl_model(
         kp_scale=cfg.kp_scale,
         kd_scale=cfg.kd_scale,
@@ -141,7 +149,6 @@ def make_env(cfg: EnvConfig, motion_ids: np.ndarray, eval_mode: bool = False) ->
     return HumanoidEnv(
         cfg=cfg,
         model=model,
-        motion_ids=np.asarray(motion_ids, np.int32),
         key_body_ids=body_sets.body_ids(body_sets.KEY_BODIES),
         reset_body_ids=body_sets.body_ids(reset_bodies),
         track_body_ids=body_sets.body_ids(body_sets.TRACK_BODIES),
@@ -171,21 +178,26 @@ def _ref_physics_state(ref: MotionState) -> PhysicsState:
     )
 
 
-def _default_physics_state(env: HumanoidEnv, batch: int, rng: jax.Array) -> PhysicsState:
+def _default_physics_state(env: HumanoidEnv, batch: int, keys: jax.Array) -> PhysicsState:
     """T-pose spawn at char height with random xy (reference
-    `humanoid_phc.py:340-343` + `_reset_default` :686-690)."""
+    `humanoid_phc.py:340-343` + `_reset_default` :686-690).
+    keys: (B, 2) per-env PRNG keys."""
     st = phys_engine.default_state(env.model, batch, height=0.89)
-    xy = jax.random.uniform(rng, (batch, 2), minval=-1.0, maxval=1.0)
+    xy = jax.vmap(lambda k: jax.random.uniform(k, (2,), minval=-1.0, maxval=1.0))(keys)
     return st._replace(root_pos=st.root_pos.at[:, :2].add(xy))
 
 
-def _sample_reset_times(env: HumanoidEnv, data: MotionData, rng: jax.Array, motion_ids) -> jax.Array:
+def _sample_reset_times(env: HumanoidEnv, data: MotionData, keys: jax.Array, motion_ids) -> jax.Array:
+    """keys: (B, 2) per-env PRNG keys."""
     cfg = env.cfg
     if env.eval_mode or cfg.state_init == StateInit.Start:
         return jnp.zeros(motion_ids.shape, jnp.float32)
     # Random / Hybrid: grid-snapped random phase (reference `_sample_time`
-    # humanoid_phc.py:838-841)
-    return sample_time_interval(data, rng, motion_ids)
+    # humanoid_phc.py:838-841), one independent stream per env
+    phase = jax.vmap(lambda k: jax.random.uniform(k))(keys)
+    lengths = data.motion_lengths[motion_ids]
+    dt = 1.0 / 30.0
+    return jnp.floor(phase * lengths / dt) * dt
 
 
 def _amp_obs_from_motion(env: HumanoidEnv, data: MotionData, motion_ids, motion_times) -> jax.Array:
@@ -263,15 +275,23 @@ def _amp_obs_from_sim(env: HumanoidEnv, physics: PhysicsState, frame) -> jax.Arr
 # ---------------------------------------------------------------------------
 
 
-def reset_all(env: HumanoidEnv, data: MotionData, rng: jax.Array) -> Tuple[EnvState, jax.Array]:
+def reset_all(
+    env: HumanoidEnv, data: MotionData, rng: jax.Array, motion_ids=None
+) -> Tuple[EnvState, jax.Array]:
     """Reset every env; returns (state, obs).
 
-    Includes the reference's stabilization double-reset (`humanoid_phc.py:
-    97-101`): set state, run one physics step, set state again.
+    motion_ids: (B,) assignment of loaded motions to envs (defaults to
+    arange % num_motions). Includes the reference's stabilization
+    double-reset (`humanoid_phc.py:97-101`): set state, run one physics
+    step, set state again.
     """
-    B = env.num_envs
-    motion_ids = jnp.asarray(env.motion_ids)
-    rng, r_time, r_hybrid, r_xy = jax.random.split(rng, 4)
+    if motion_ids is None:
+        motion_ids = jnp.arange(env.num_envs, dtype=jnp.int32) % data.num_motions
+    motion_ids = jnp.asarray(motion_ids, jnp.int32)
+    B = motion_ids.shape[0]
+    env_keys = jax.random.split(rng, B)  # one independent stream per env
+    ks = jax.vmap(lambda k: jax.random.split(k, 4))(env_keys)  # (B, 4, 2)
+    env_keys, r_time, r_hybrid, r_xy = ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3]
 
     times = _sample_reset_times(env, data, r_time, motion_ids)
     ref = get_motion_state(data, motion_ids, times)
@@ -281,7 +301,7 @@ def reset_all(env: HumanoidEnv, data: MotionData, rng: jax.Array) -> Tuple[EnvSt
         physics = _default_physics_state(env, B, r_xy)
         times = jnp.zeros(B)
     elif env.cfg.state_init == StateInit.Hybrid:
-        use_ref = jax.random.bernoulli(r_hybrid, env.cfg.hybrid_init_prob, (B,))
+        use_ref = jax.vmap(lambda k: jax.random.bernoulli(k, env.cfg.hybrid_init_prob))(r_hybrid)
         default = _default_physics_state(env, B, r_xy)
         physics = jax.tree_util.tree_map(
             lambda a, b: jnp.where(use_ref.reshape((-1,) + (1,) * (a.ndim - 1)), a, b), physics, default
@@ -307,12 +327,13 @@ def reset_all(env: HumanoidEnv, data: MotionData, rng: jax.Array) -> Tuple[EnvSt
 
     state = EnvState(
         physics=physics,
+        motion_ids=motion_ids,
         progress=jnp.zeros(B, jnp.int32),
         motion_times_start=times,
         motion_offset=jnp.zeros((B, 3)),
         amp_obs_hist=amp_hist,
         amp_obs_demo=amp_demo,
-        rng=rng,
+        rng=env_keys,
     )
 
     frame = forward_kinematics(env.model, physics)
@@ -326,16 +347,20 @@ def step(
     """One control step: PD-actuated physics, reward, termination, masked
     auto-reset, next obs. Fully jittable; no host round trips."""
     cfg = env.cfg
-    B = env.num_envs
-    motion_ids = jnp.asarray(env.motion_ids)
+    B = state.progress.shape[0]
+    motion_ids = state.motion_ids
 
-    rng, r_noise, r_time, r_hybrid, r_xy = jax.random.split(state.rng, 5)
+    ks = jax.vmap(lambda k: jax.random.split(k, 6))(state.rng)  # (B, 6, 2)
+    env_keys, r_noise, r_time, r_hybrid, r_xy, r_on = (
+        ks[:, 0], ks[:, 1], ks[:, 2], ks[:, 3], ks[:, 4], ks[:, 5]
+    )
 
     # ---- actions -> PD targets (reference humanoid_phc.py:105-128) --------
     if cfg.clip_actions:
         actions = jnp.clip(actions, -1.0, 1.0)
     if cfg.add_action_noise:
-        actions = actions + cfg.action_noise_std * jax.random.normal(r_noise, actions.shape)
+        noise = jax.vmap(lambda k: jax.random.normal(k, actions.shape[1:]))(r_noise)
+        actions = actions + cfg.action_noise_std * noise
     pd_target = jnp.asarray(env.pd_offset) + jnp.asarray(env.pd_scale) * actions
     if cfg.robot.freeze_hand or cfg.robot.freeze_toe:
         pd_target = pd_target.at[:, jnp.asarray(env.freeze_dofs)].set(0.0)
@@ -404,7 +429,7 @@ def step(
         reset_physics = _default_physics_state(env, B, r_xy)
         new_times = jnp.zeros(B)
     elif cfg.state_init == StateInit.Hybrid:
-        use_ref = jax.random.bernoulli(r_hybrid, cfg.hybrid_init_prob, (B,))
+        use_ref = jax.vmap(lambda k: jax.random.bernoulli(k, cfg.hybrid_init_prob))(r_hybrid)
         default = _default_physics_state(env, B, r_xy)
         reset_physics = jax.tree_util.tree_map(
             lambda a, b: jnp.where(use_ref.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
@@ -433,8 +458,8 @@ def step(
     ref_obs = get_motion_state(data, motion_ids, obs_times, offset=motion_offset)
     obs = _compute_obs(env, frame2, ref_obs)
     if cfg.add_obs_noise and not env.eval_mode:
-        rng, r_on = jax.random.split(rng)
-        obs = obs + cfg.obs_noise_std * jax.random.normal(r_on, obs.shape)
+        onoise = jax.vmap(lambda k: jax.random.normal(k, obs.shape[1:]))(r_on)
+        obs = obs + cfg.obs_noise_std * onoise
 
     # ---- AMP observation history (reference :154-157, 1339-1359) -----------
     if cfg.use_amp_obs:
@@ -452,12 +477,13 @@ def step(
 
     new_state = EnvState(
         physics=physics,
+        motion_ids=motion_ids,
         progress=progress,
         motion_times_start=times_start,
         motion_offset=motion_offset,
         amp_obs_hist=amp_hist,
         amp_obs_demo=amp_demo,
-        rng=rng,
+        rng=env_keys,
     )
     out = StepOutput(
         obs=obs,
@@ -475,4 +501,4 @@ def step(
 def fetch_amp_obs_demo(env: HumanoidEnv, state: EnvState) -> jax.Array:
     """Demo AMP windows for discriminator training (reference
     `fetch_amp_obs_demo` humanoid_phc.py:1358-1359)."""
-    return state.amp_obs_demo.reshape(env.num_envs, -1)
+    return state.amp_obs_demo.reshape(state.amp_obs_demo.shape[0], -1)

@@ -52,11 +52,15 @@ class MeshSpec:
         return NamedSharding(self.mesh, P())
 
     def shard_batch(self, tree):
-        """Place every array in a pytree with its batch axis sharded."""
-        sh = self.batch_sharding()
+        """Place every batch-leading array in a pytree with dim 0 sharded.
+
+        Arrays whose leading dim is not divisible by the data axis (e.g.
+        scalars) are replicated.
+        """
 
         def place(x):
-            spec = P(DATA_AXIS) if getattr(x, "ndim", 0) >= 1 else P()
+            shardable = getattr(x, "ndim", 0) >= 1 and x.shape[0] % self.data_size == 0 and x.shape[0] > 0
+            spec = P(DATA_AXIS) if shardable else P()
             return jax.device_put(x, NamedSharding(self.mesh, spec))
 
         return jax.tree_util.tree_map(place, tree)
@@ -118,10 +122,16 @@ def shard_train_step(mesh_spec: MeshSpec, train_step_fn):
     pspec_batch = P(DATA_AXIS)
     pspec_rep = P()
 
+    data_size = mesh_spec.data_size
+
     def spec_for_batched(tree):
-        return jax.tree_util.tree_map(
-            lambda x: pspec_batch if getattr(x, "ndim", 0) >= 1 else pspec_rep, tree
-        )
+        def spec(x):
+            shardable = (
+                getattr(x, "ndim", 0) >= 1 and x.shape[0] % data_size == 0 and x.shape[0] > 0
+            )
+            return pspec_batch if shardable else pspec_rep
+
+        return jax.tree_util.tree_map(spec, tree)
 
     def wrapped(state, env_state, obs, data):
         fn = partial(train_step_fn, pmean_axis=DATA_AXIS)

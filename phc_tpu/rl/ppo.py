@@ -423,7 +423,15 @@ def train_step(
     pmean_axis: Optional[str] = None,
 ):
     """One full epoch: rollout + update. Jit (or shard_map) this."""
-    env_state, obs, traj, roll_stats = collect_rollout(ppo, data, state, env_state, obs)
+    if pmean_axis is not None:
+        # Decorrelate per-shard action-sampling noise: learner rng is
+        # replicated (keeps updates identical across shards), but the
+        # rollout stream must differ per data shard.
+        shard_rng = jax.random.fold_in(state.rng, jax.lax.axis_index(pmean_axis))
+        rollout_state = state._replace(rng=shard_rng)
+    else:
+        rollout_state = state
+    env_state, obs, traj, roll_stats = collect_rollout(ppo, data, rollout_state, env_state, obs)
     amp_demo = henv.fetch_amp_obs_demo(ppo.env, env_state) if ppo.disc is not None else None
     state, losses = update(ppo, state, traj, amp_demo=amp_demo, pmean_axis=pmean_axis)
     if pmean_axis is not None:
