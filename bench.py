@@ -58,18 +58,19 @@ def main():
     ppo = ppo_mod.make_ppo(train_cfg, env, pol_cfg)
 
     state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
-    env_state, obs = jax.jit(lambda d, r: henv.reset_all(env, d, r))(data, jax.random.PRNGKey(1))
+    runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, jax.random.PRNGKey(1))
 
-    train_step = jax.jit(lambda d, s, es, o: ppo_mod.train_step(ppo, d, s, es, o))
+    train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
 
-    # warmup/compile
-    state, env_state, obs, losses = train_step(data, state, env_state, obs)
-    jax.block_until_ready(losses)
+    # warmup/compile (block on the full state, not just losses — async
+    # dispatch makes partial blocking under-measure)
+    state, runner, losses = train_step(data, state, runner)
+    jax.block_until_ready((state, runner, losses))
 
     t0 = time.time()
     for _ in range(iters):
-        state, env_state, obs, losses = train_step(data, state, env_state, obs)
-    jax.block_until_ready(losses)
+        state, runner, losses = train_step(data, state, runner)
+    jax.block_until_ready((state, runner, losses))
     dt = time.time() - t0
 
     steps = iters * train_cfg.batch_size

@@ -112,9 +112,9 @@ def initialize_distributed(coordinator: Optional[str] = None, num_processes: Opt
 def shard_train_step(mesh_spec: MeshSpec, train_step_fn):
     """Wrap a per-shard train step with shard_map over the data axis.
 
-    `train_step_fn(state, env_state, obs, data)` must accept a
-    `pmean_axis` kwarg (see ppo.update) so gradients/statistics reduce over
-    the data axis; learner state is replicated, env state is sharded.
+    `train_step_fn(state, runner, data, pmean_axis)` (see ppo.train_step):
+    gradients/statistics reduce over the data axis; learner state is
+    replicated, the runner (env state + obs + LSTM carry) is sharded.
     """
     from jax.experimental.shard_map import shard_map
 
@@ -133,26 +133,24 @@ def shard_train_step(mesh_spec: MeshSpec, train_step_fn):
 
         return jax.tree_util.tree_map(spec, tree)
 
-    def wrapped(state, env_state, obs, data):
+    def wrapped(state, runner, data):
         fn = partial(train_step_fn, pmean_axis=DATA_AXIS)
         in_specs = (
             jax.tree_util.tree_map(lambda _: pspec_rep, state),
-            spec_for_batched(env_state),
-            pspec_batch,
+            spec_for_batched(runner),
             jax.tree_util.tree_map(lambda _: pspec_rep, data),
         )
         out_specs = (
             jax.tree_util.tree_map(lambda _: pspec_rep, state),
-            spec_for_batched(env_state),
-            pspec_batch,
+            spec_for_batched(runner),
             pspec_rep,  # stats already pmean'd
         )
 
-        def body(state, env_state, obs, data):
-            return fn(data=data, state=state, env_state=env_state, obs=obs)
+        def body(state, runner, data):
+            return fn(data=data, state=state, runner=runner)
 
         return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)(
-            state, env_state, obs, data
+            state, runner, data
         )
 
     return wrapped

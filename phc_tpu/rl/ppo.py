@@ -48,6 +48,18 @@ class Trajectory(NamedTuple):
     truncs: jax.Array
     amp_obs: jax.Array
     reward_raw: jax.Array  # (T, B, 5)
+    lstm_h: jax.Array  # (T, B, H) critic-LSTM hidden at step entry (H=1 if MLP)
+    lstm_c: jax.Array  # (T, B, H)
+
+
+class RunnerState(NamedTuple):
+    """Everything the rollout carries between epochs (batch-leading, shards
+    over the data axis)."""
+
+    env_state: henv.EnvState
+    obs: jax.Array  # (B, obs)
+    lstm_h: jax.Array  # (B, H) critic-LSTM carry (H=1 dummy if MLP)
+    lstm_c: jax.Array  # (B, H)
 
 
 class PPOState(NamedTuple):
@@ -76,6 +88,8 @@ class PPO:
     disc: Optional[Any]
     rollout_steps: int
     optimizer: Any
+    use_lstm: bool = False
+    lstm_hidden: int = 1
 
     @property
     def num_envs(self) -> int:
@@ -87,29 +101,52 @@ class PPO:
 
 
 def make_ppo(cfg: TrainConfig, env: henv.HumanoidEnv, policy_cfg) -> PPO:
-    policy = policies.PHCPolicy(
-        action_dim=env.num_dofs,
-        hidden_size=policy_cfg.hidden_size,
-        layer_sizes=tuple(policy_cfg.layer_sizes),
-    )
+    use_lstm = bool(getattr(policy_cfg, "use_lstm", False))
+    if use_lstm:
+        policy = policies.LSTMCriticPolicy(
+            action_dim=env.num_dofs, hidden_size=policy_cfg.hidden_size
+        )
+    else:
+        policy = policies.PHCPolicy(
+            action_dim=env.num_dofs,
+            hidden_size=policy_cfg.hidden_size,
+            layer_sizes=tuple(policy_cfg.layer_sizes),
+        )
     disc = policies.Discriminator(hidden_size=policy_cfg.hidden_size) if env.cfg.use_amp_obs else None
     rollout_steps = cfg.batch_size // env.num_envs
     assert rollout_steps * env.num_envs == cfg.batch_size, (
         f"batch_size {cfg.batch_size} must be a multiple of num_envs {env.num_envs}"
     )
     assert cfg.batch_size % cfg.minibatch_size == 0
+    if use_lstm:
+        assert rollout_steps % cfg.bptt_horizon == 0, (
+            f"rollout {rollout_steps} must be a multiple of bptt_horizon {cfg.bptt_horizon}"
+        )
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adam(cfg.learning_rate, eps=1e-5),
     )
-    return PPO(cfg=cfg, env=env, policy=policy, disc=disc, rollout_steps=rollout_steps, optimizer=tx)
+    return PPO(
+        cfg=cfg,
+        env=env,
+        policy=policy,
+        disc=disc,
+        rollout_steps=rollout_steps,
+        optimizer=tx,
+        use_lstm=use_lstm,
+        lstm_hidden=policy_cfg.hidden_size if use_lstm else 1,
+    )
 
 
 def init_state(ppo: PPO, rng: jax.Array) -> PPOState:
     env = ppo.env
     rng, r1, r2 = jax.random.split(rng, 3)
     obs_dim = env.num_obs
-    params = ppo.policy.init(r1, jnp.zeros((1, obs_dim)))
+    if ppo.use_lstm:
+        dummy_carry = (jnp.zeros((1, ppo.lstm_hidden)), jnp.zeros((1, ppo.lstm_hidden)))
+        params = ppo.policy.init(r1, jnp.zeros((1, 1, obs_dim)), dummy_carry)
+    else:
+        params = ppo.policy.init(r1, jnp.zeros((1, obs_dim)))
     if ppo.disc is not None:
         disc_params = ppo.disc.init(r2, jnp.zeros((1, env.num_amp_obs)))
     else:
@@ -131,6 +168,14 @@ def init_state(ppo: PPO, rng: jax.Array) -> PPOState:
     )
 
 
+def init_runner(ppo: PPO, data, rng: jax.Array) -> RunnerState:
+    """Fresh runner: full env reset + zero LSTM carry."""
+    env_state, obs = henv.reset_all(ppo.env, data, rng)
+    B = obs.shape[0]
+    zeros = jnp.zeros((B, ppo.lstm_hidden))
+    return RunnerState(env_state=env_state, obs=obs, lstm_h=zeros, lstm_c=zeros)
+
+
 # ---------------------------------------------------------------------------
 # Rollout (hot loop #1, reference `evaluate` core.py:120-203)
 # ---------------------------------------------------------------------------
@@ -146,14 +191,30 @@ def policy_forward(ppo: PPO, params, obs_norm: RunningNormState, obs, rng, deter
 
 
 def collect_rollout(
-    ppo: PPO, data, state: PPOState, env_state: henv.EnvState, obs: jax.Array
-) -> Tuple[henv.EnvState, jax.Array, Trajectory, dict]:
-    """lax.scan of T policy+env steps. Returns (env_state, last_obs, traj, stats)."""
+    ppo: PPO, data, state: PPOState, runner: RunnerState
+) -> Tuple[RunnerState, Trajectory, dict]:
+    """lax.scan of T policy+env steps. Returns (runner, traj, stats).
+
+    With the LSTM critic, the hidden state carried across steps is zeroed
+    for done envs (reference `core.py:149-157`) and the carry at each step's
+    entry is stored for BPTT segment initialization in the update.
+    """
 
     def step_fn(carry, _):
-        env_state, obs, rng = carry
+        env_state, obs, h, c, rng = carry
         rng, r_act = jax.random.split(rng)
-        action, logp, value, _ = policy_forward(ppo, state.params, state.obs_norm, obs, r_act)
+        if ppo.use_lstm:
+            normed = running_norm.normalize(state.obs_norm, obs)
+            mu_t, value_t, (new_c, new_h) = ppo.policy.apply(
+                state.params, normed[None], (c, h)
+            )
+            mu, value = mu_t[0], value_t[0]
+            std = policies.action_std(ppo.env.num_dofs)
+            action = policies.sample_action(r_act, mu, std)
+            logp = policies.gaussian_logprob(mu, std, action)
+        else:
+            action, logp, value, _ = policy_forward(ppo, state.params, state.obs_norm, obs, r_act)
+            new_h, new_c = h, c
         env_state, out = henv.step(ppo.env, data, env_state, action)
         traj = Trajectory(
             obs=obs,
@@ -165,12 +226,19 @@ def collect_rollout(
             truncs=out.truncated.astype(jnp.float32),
             amp_obs=out.amp_obs,
             reward_raw=out.reward_raw,
+            lstm_h=h,
+            lstm_c=c,
         )
-        return (env_state, out.obs, rng), traj
+        # zero the carry for reset envs (reference core.py:149-157)
+        reset = out.done[:, None]
+        new_h = jnp.where(reset, 0.0, new_h)
+        new_c = jnp.where(reset, 0.0, new_c)
+        return (env_state, out.obs, new_h, new_c, rng), traj
 
     rng, r_scan = jax.random.split(state.rng)
-    (env_state, last_obs, _), traj = jax.lax.scan(
-        step_fn, (env_state, obs, r_scan), None, length=ppo.rollout_steps
+    init = (runner.env_state, runner.obs, runner.lstm_h, runner.lstm_c, r_scan)
+    (env_state, last_obs, h, c, _), traj = jax.lax.scan(
+        step_fn, init, None, length=ppo.rollout_steps
     )
     stats = {
         "mean_reward": traj.rewards.mean(),
@@ -178,7 +246,7 @@ def collect_rollout(
         "termination_rate": traj.dones.mean(),
         "truncation_rate": traj.truncs.mean(),
     }
-    return env_state, last_obs, traj, stats
+    return RunnerState(env_state=env_state, obs=last_obs, lstm_h=h, lstm_c=c), traj, stats
 
 
 # ---------------------------------------------------------------------------
@@ -247,10 +315,11 @@ def update(
     assert envs_mb * nmb == B
 
     def mb_view(x):
-        # (T, B, ...) -> (nmb, T * envs_mb, ...)
+        # (T, B, ...) -> (nmb, T, envs_mb, ...): minibatch = env subgroup,
+        # time structure preserved (needed for BPTT; the reference reaches
+        # the same layout through its (env, step) sort, structs.py:133-145)
         xs = x.reshape((T, nmb, envs_mb) + x.shape[2:])
-        xs = jnp.moveaxis(xs, 1, 0)
-        return xs.reshape((nmb, T * envs_mb) + x.shape[2:])
+        return jnp.moveaxis(xs, 1, 0)
 
     b_obs = mb_view(traj.obs)
     b_actions = mb_view(traj.actions)
@@ -265,12 +334,29 @@ def update(
         perm = jax.random.permutation(r_perm, amp_replay.shape[0])
         b_amp_replay = amp_replay[perm].reshape(nmb, -1, amp_replay.shape[-1])
         assert amp_demo is not None, "use_amp_obs requires the demo window batch"
+    if ppo.use_lstm:
+        b_lstm_h = mb_view(traj.lstm_h)
+        b_lstm_c = mb_view(traj.lstm_c)
     std = policies.action_std(ppo.env.num_dofs)
+    bptt = cfg.bptt_horizon
 
     def loss_fn(both_params, mb, amp_demo_mb):
         params, disc_params = both_params
-        obs_n = running_norm.normalize(obs_norm, mb["obs"])
-        mu, newvalue = ppo.policy.apply(params, obs_n)
+        obs_n = running_norm.normalize(obs_norm, mb["obs"])  # (T, E, obs)
+        if ppo.use_lstm:
+            # BPTT: split time into horizon-length segments, each started
+            # from the stored (detached) rollout carry at segment entry
+            # (reference BPTT layout structs.py:133-145, bptt_horizon=8)
+            E = obs_n.shape[1]
+            S = T // bptt
+            obs_seg = obs_n.reshape(S, bptt, E, -1).swapaxes(0, 1).reshape(bptt, S * E, -1)
+            h0 = mb["lstm_h"][::bptt].reshape(S * E, -1)
+            c0 = mb["lstm_c"][::bptt].reshape(S * E, -1)
+            mu_seg, val_seg, _ = ppo.policy.apply(params, obs_seg, (c0, h0))
+            mu = mu_seg.reshape(bptt, S, E, -1).swapaxes(0, 1).reshape(T, E, -1)
+            newvalue = val_seg.reshape(bptt, S, E).swapaxes(0, 1).reshape(T, E)
+        else:
+            mu, newvalue = ppo.policy.apply(params, obs_n)
         newlogprob = policies.gaussian_logprob(mu, std, mb["actions"])
         entropy = policies.gaussian_entropy(std, ppo.env.num_dofs)
 
@@ -311,7 +397,8 @@ def update(
         disc_agent_acc = jnp.zeros(())
         disc_demo_acc = jnp.zeros(())
         if ppo.disc is not None:
-            amp_agent = jnp.concatenate([mb["amp"], mb["amp_replay"]], axis=0)
+            amp_flat_mb = mb["amp"].reshape(-1, mb["amp"].shape[-1])
+            amp_agent = jnp.concatenate([amp_flat_mb, mb["amp_replay"]], axis=0)
             agent_logits = ppo.disc.apply(disc_params, running_norm.normalize(amp_norm, amp_agent))
             demo_logits = ppo.disc.apply(disc_params, running_norm.normalize(amp_norm, amp_demo_mb))
             bce = lambda logits, target: jnp.mean(
@@ -364,6 +451,9 @@ def update(
             amp_demo_mb = amp_demo
         else:
             amp_demo_mb = None
+        if ppo.use_lstm:
+            mb["lstm_h"] = b_lstm_h[idx]
+            mb["lstm_c"] = b_lstm_c[idx]
         (loss, aux), grads = grad_fn((params, disc_params), mb, amp_demo_mb)
         if pmean_axis is not None:
             grads = jax.lax.pmean(grads, pmean_axis)
@@ -418,8 +508,7 @@ def train_step(
     ppo: PPO,
     data,
     state: PPOState,
-    env_state: henv.EnvState,
-    obs: jax.Array,
+    runner: RunnerState,
     pmean_axis: Optional[str] = None,
 ):
     """One full epoch: rollout + update. Jit (or shard_map) this."""
@@ -431,9 +520,9 @@ def train_step(
         rollout_state = state._replace(rng=shard_rng)
     else:
         rollout_state = state
-    env_state, obs, traj, roll_stats = collect_rollout(ppo, data, rollout_state, env_state, obs)
-    amp_demo = henv.fetch_amp_obs_demo(ppo.env, env_state) if ppo.disc is not None else None
+    runner, traj, roll_stats = collect_rollout(ppo, data, rollout_state, runner)
+    amp_demo = henv.fetch_amp_obs_demo(ppo.env, runner.env_state) if ppo.disc is not None else None
     state, losses = update(ppo, state, traj, amp_demo=amp_demo, pmean_axis=pmean_axis)
     if pmean_axis is not None:
         roll_stats = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, pmean_axis), roll_stats)
-    return state, env_state, obs, {**losses, **roll_stats}
+    return state, runner, {**losses, **roll_stats}

@@ -73,9 +73,9 @@ def mode_train(cfg: AppConfig):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"Model size: {abbreviate(n_params)} parameters")
 
-    env_state, obs = jax.jit(lambda d, r: henv.reset_all(env, d, r))(data, r_env)
+    runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, r_env)
 
-    train_step = jax.jit(lambda d, s, es, o: ppo_mod.train_step(ppo, d, s, es, o))
+    train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
 
     if cfg.checkpoint_path:
         state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
@@ -92,7 +92,7 @@ def mode_train(cfg: AppConfig):
             with profile.phase("resample"):
                 data = lib.load_motions(num_motions=cfg.env.num_envs)
                 rng, r_env = jax.random.split(rng)
-                env_state, obs = jax.jit(lambda d, r: henv.reset_all(env, d, r))(data, r_env)
+                runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, r_env)
 
         # --- eval + PMCP (reference train.py:314-324) ------------------------
         if cfg.train.eval_interval > 0 and epoch > 0 and epoch % cfg.train.eval_interval == 0:
@@ -102,7 +102,7 @@ def mode_train(cfg: AppConfig):
                 print(json.dumps(results))
 
         with profile.phase("train", sync_tree=None):
-            state, env_state, obs, losses = train_step(data, state, env_state, obs)
+            state, runner, losses = train_step(data, state, runner)
             jax.block_until_ready(losses)
 
         epoch += 1

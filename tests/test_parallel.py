@@ -56,20 +56,19 @@ def test_data_parallel_grads_replicated():
 
     mesh = make_mesh(data_axis=n, model_axis=1)
     state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
-    env_state, obs = henv.reset_all(env, data, jax.random.PRNGKey(1))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
 
     state = mesh.replicate(state)
     data_r = mesh.replicate(data)
-    env_state = mesh.shard_batch(env_state)
-    obs = jax.device_put(obs, mesh.batch_sharding())
+    runner = mesh.shard_batch(runner)
 
     step_fn = shard_train_step(
         mesh,
-        lambda state, env_state, obs, data, pmean_axis: ppo_mod.train_step(
-            ppo, data, state, env_state, obs, pmean_axis=pmean_axis
+        lambda state, runner, data, pmean_axis: ppo_mod.train_step(
+            ppo, data, state, runner, pmean_axis=pmean_axis
         ),
     )
-    state2, env_state2, obs2, losses = step_fn(state, env_state, obs, data_r)
+    state2, runner2, losses = step_fn(state, runner, data_r)
 
     for k, v in losses.items():
         assert np.isfinite(np.asarray(v)).all(), f"{k} not finite"
@@ -79,5 +78,5 @@ def test_data_parallel_grads_replicated():
     for s in shards[1:]:
         np.testing.assert_allclose(s, shards[0], atol=0)
     # the env state stays sharded over data
-    es_leaf = env_state2.physics.root_pos
+    es_leaf = runner2.env_state.physics.root_pos
     assert len(es_leaf.sharding.device_set) == n

@@ -28,11 +28,11 @@ def make_setup(use_amp=False):
 def test_train_step_runs_and_updates():
     lib, data, env, ppo = make_setup()
     state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
-    env_state, obs = henv.reset_all(env, data, jax.random.PRNGKey(1))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
 
-    train_step = jax.jit(lambda d, s, es, o: ppo_mod.train_step(ppo, d, s, es, o))
+    train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
     p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
-    state, env_state, obs, losses = train_step(data, state, env_state, obs)
+    state, runner, losses = train_step(data, state, runner)
 
     for k, v in losses.items():
         assert np.isfinite(np.asarray(v)).all(), f"{k} not finite: {v}"
@@ -45,7 +45,7 @@ def test_train_step_runs_and_updates():
     assert float(state.obs_norm.count) == 2.0
 
     # a second step works from the carried state (no retrace errors)
-    state, env_state, obs, losses = train_step(data, state, env_state, obs)
+    state, runner, losses = train_step(data, state, runner)
     assert int(state.epoch) == 2
     assert np.isfinite(np.asarray(losses["policy_loss"]))
 
@@ -54,10 +54,10 @@ def test_train_step_with_amp_discriminator():
     lib, data, env, ppo = make_setup(use_amp=True)
     assert ppo.disc is not None
     state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
-    env_state, obs = henv.reset_all(env, data, jax.random.PRNGKey(1))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
 
-    train_step = jax.jit(lambda d, s, es, o: ppo_mod.train_step(ppo, d, s, es, o))
-    state, env_state, obs, losses = train_step(data, state, env_state, obs)
+    train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
+    state, runner, losses = train_step(data, state, runner)
     assert np.isfinite(float(losses["disc_loss"]))
     assert 0.0 <= float(losses["disc_agent_acc"]) <= 1.0
     assert bool(state.amp_replay_filled)
@@ -71,12 +71,12 @@ def test_reward_improves_on_single_clip():
     mean imitation reward in a sane band (learning signal flows)."""
     lib, data, env, ppo = make_setup()
     state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
-    env_state, obs = henv.reset_all(env, data, jax.random.PRNGKey(1))
-    train_step = jax.jit(lambda d, s, es, o: ppo_mod.train_step(ppo, d, s, es, o))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
+    train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
 
     rewards = []
     for _ in range(3):
-        state, env_state, obs, losses = train_step(data, state, env_state, obs)
+        state, runner, losses = train_step(data, state, runner)
         rewards.append(float(losses["mean_reward"]))
     assert all(np.isfinite(r) for r in rewards)
     assert rewards[-1] > 0.05  # not collapsed
