@@ -5,6 +5,13 @@ GAE + 16 minibatch updates) at 4096 envs on one chip — the same quantity
 the reference's dashboard SPS tracks (`clean_pufferl/structs.py:354`, the
 throughput of `evaluate`+`train` per agent step).
 
+Timing protocol (IMPORTANT): on the axon-tunneled TPU backend,
+`jax.block_until_ready` does NOT wait for device execution, so each timed
+call is forced to completion by fetching a scalar output (`float(...)`)
+— fetching any output of a jit call waits for that entire program. All
+state stays on device between calls; only the scalar loss crosses the
+tunnel (~30ms round trip, <1% of a step).
+
 Prints ONE json line:
   {"metric": "env_steps_per_sec_per_chip", "value": N, "unit": "steps/s",
    "vs_baseline": N / 100000}
@@ -31,11 +38,23 @@ SAMPLE_PKL = "/root/reference/sample_data/cmu_mocap_05_06.pkl"
 BASELINE_SPS = 100_000.0
 
 
+_T0 = time.time()
+
+
+def _vlog(msg):
+    if os.environ.get("BENCH_VERBOSE"):
+        print(f"[bench {time.time() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
-    iters = int(os.environ.get("BENCH_ITERS", 5))
+    iters = int(os.environ.get("BENCH_ITERS", 3))
 
     import jax
+
+    from phc_tpu.runtime.jax_setup import setup_cache
+
+    setup_cache()
 
     from phc_tpu.config import EnvConfig, TrainConfig, PolicyConfig
     from phc_tpu.env import humanoid_env as henv
@@ -56,25 +75,34 @@ def main():
     data = lib.load_motions(num_motions=min(num_envs, 256))
     env = henv.make_env(env_cfg, motion_ids=np.zeros(num_envs, np.int64))
     ppo = ppo_mod.make_ppo(train_cfg, env, pol_cfg)
+    _vlog("setup done")
 
-    state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+    # init as single jitted programs (eager op chains are pathologically slow
+    # over the tunnel), then force materialization with a scalar fetch
+    state = jax.jit(lambda r: ppo_mod.init_state(ppo, r))(jax.random.PRNGKey(0))
+    _vlog("init_state dispatched")
     runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, jax.random.PRNGKey(1))
+    _vlog("init_runner dispatched")
+    float(jax.jit(lambda s, r: s.global_step + r.obs.sum())(state, runner))
+    _vlog("init materialized")
 
     train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
 
-    # warmup/compile (block on the full state, not just losses — async
-    # dispatch makes partial blocking under-measure)
+    # warmup/compile
     state, runner, losses = train_step(data, state, runner)
-    jax.block_until_ready((state, runner, losses))
+    float(losses["policy_loss"])
+    _vlog("warmup step done")
 
-    t0 = time.time()
+    times = []
     for _ in range(iters):
+        t0 = time.time()
         state, runner, losses = train_step(data, state, runner)
-    jax.block_until_ready((state, runner, losses))
-    dt = time.time() - t0
+        float(losses["policy_loss"])  # forces the whole step
+        times.append(time.time() - t0)
+        _vlog(f"timed step: {times[-1]:.3f}s")
 
-    steps = iters * train_cfg.batch_size
-    sps = steps / dt
+    dt = float(np.median(times))
+    sps = train_cfg.batch_size / dt
     print(
         json.dumps(
             {

@@ -186,13 +186,15 @@ def _dof_body_ids(model: PhysicsModel) -> np.ndarray:
 
 
 def _composite_inertia(model: PhysicsModel, I_sp: jax.Array) -> jax.Array:
-    """Accumulate subtree spatial inertias, leaves -> root (reverse levels)."""
-    Ic = I_sp
-    for level in reversed(model.levels[1:]):
-        par = model.parents[level]
-        # scatter-add children into parents (unique parents per level step)
-        Ic = Ic.at[:, jnp.asarray(par)].add(Ic[:, jnp.asarray(level)])
-    return Ic
+    """Subtree spatial inertias: Ic[j] = sum over descendants-or-self of j.
+
+    One (J, J) mask einsum instead of a reverse-level scatter-add loop —
+    TPU scatters with duplicate indices are catastrophically slow, and all
+    inertias share the world-origin reference point so plain summation is
+    exact.
+    """
+    desc = jnp.asarray(model.ancestor_mask.T.astype(np.float32))  # desc[j, i]
+    return jnp.einsum("ji,bixy->bjxy", desc, I_sp, precision=_PREC)
 
 
 def mass_matrix(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
@@ -272,11 +274,9 @@ def bias_forces(model: PhysicsModel, frame: BodyFrame, state: PhysicsState) -> j
 
     f_body = Ia + vxf  # (B, J, 6)
 
-    # backward accumulation to get subtree wrenches
-    f_acc = f_body
-    for level in reversed(model.levels[1:]):
-        par = model.parents[level]
-        f_acc = f_acc.at[:, jnp.asarray(par)].add(f_acc[:, jnp.asarray(level)])
+    # subtree wrench accumulation as a mask einsum (see _composite_inertia)
+    desc = jnp.asarray(model.ancestor_mask.T.astype(np.float32))
+    f_acc = jnp.einsum("ji,bix->bjx", desc, f_body, precision=_PREC)
 
     S = _motion_subspace(model, frame)
     dof_body = jnp.asarray(_dof_body_ids(model))
@@ -431,7 +431,12 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
         ],
         axis=-1,
     )
-    cbf = jnp.zeros((B, model.num_bodies, 3)).at[:, jnp.asarray(model.contact_body)].add(f_post)
+    # per-body aggregation via one-hot matmul (a scatter-add with duplicate
+    # indices takes milliseconds on TPU; this is one tiny MXU op)
+    body_onehot = jnp.asarray(
+        (np.arange(model.num_bodies)[:, None] == model.contact_body[None, :]).astype(np.float32)
+    )
+    cbf = jnp.einsum("jp,bpa->bja", body_onehot, f_post)
 
     # integrate: root position (world), quaternions via exponential map
     root_pos = state.root_pos + dt * v_new[:, 0:3]

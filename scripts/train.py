@@ -25,6 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from phc_tpu.runtime.jax_setup import setup_cache
+
+setup_cache()
+
 from phc_tpu.config import AppConfig, parse_cli, config_to_dict
 from phc_tpu.env import humanoid_env as henv
 from phc_tpu.motionlib import MotionLib
@@ -69,7 +73,9 @@ def mode_train(cfg: AppConfig):
 
     rng = jax.random.PRNGKey(cfg.train.seed)
     rng, r_init, r_env = jax.random.split(rng, 3)
-    state = ppo_mod.init_state(ppo, r_init)
+    # one jitted program: eager init chains are pathologically slow on the
+    # tunneled backend (every small op round-trips)
+    state = jax.jit(lambda r: ppo_mod.init_state(ppo, r))(r_init)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     print(f"Model size: {abbreviate(n_params)} parameters")
 
@@ -103,10 +109,12 @@ def mode_train(cfg: AppConfig):
 
         with profile.phase("train", sync_tree=None):
             state, runner, losses = train_step(data, state, runner)
-            jax.block_until_ready(losses)
+            # block_until_ready is a no-op on the axon tunnel; a scalar
+            # fetch is the only way to wait for the step (and what we'd
+            # log anyway)
+            new_global = float(np.asarray(state.global_step))
 
         epoch += 1
-        new_global = float(np.asarray(state.global_step))
         profile.total_steps += new_global - global_step
         global_step = new_global
 
@@ -149,7 +157,7 @@ def run_eval(cfg: AppConfig, lib, ppo, state):
 def mode_eval(cfg: AppConfig):
     lib, data, env, ppo = build(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
-    state = ppo_mod.init_state(ppo, rng)
+    state = jax.jit(lambda r: ppo_mod.init_state(ppo, r))(rng)
     if cfg.checkpoint_path:
         state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
     results = run_eval(cfg, lib, ppo, state)
@@ -165,7 +173,7 @@ def mode_play(cfg: AppConfig):
     see scripts/vis_motion_mj.py to replay the dump in MuJoCo's viewer)."""
     lib, data, env, ppo = build(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
-    state = ppo_mod.init_state(ppo, rng)
+    state = jax.jit(lambda r: ppo_mod.init_state(ppo, r))(rng)
     if cfg.checkpoint_path:
         state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
 

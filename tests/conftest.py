@@ -30,3 +30,8 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compile cache across pytest runs (default min-compile-time 1s
 # would skip caching most kernels).
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_compile")),
+)
