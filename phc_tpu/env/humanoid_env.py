@@ -143,6 +143,7 @@ def make_env(cfg: EnvConfig, motion_ids=None, eval_mode: bool = False) -> Humano
         contact_stiffness=cfg.physics.contact_stiffness,
         contact_damping=cfg.physics.contact_damping,
         friction=cfg.physics.friction,
+        self_collision=cfg.robot.has_self_collision,
     )
     pd_offset, pd_scale = build_pd_action_offset_scale(model)
     reset_bodies = body_sets.EVAL_BODIES if eval_mode else body_sets.RESET_BODIES

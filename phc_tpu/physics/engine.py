@@ -310,24 +310,116 @@ def contact_kinematics(model: PhysicsModel, frame: BodyFrame):
     return p_world, v_point, pen, active
 
 
-def contact_jacobian(model: PhysicsModel, S: jax.Array, points: jax.Array) -> jax.Array:
-    """J (B, N, P, 3): generalized-coordinate rows of each contact point's
-    world-velocity components. Row (d, p, axis) = S_d . [p x e_axis; e_axis],
-    masked so only ancestors of the contact body contribute.
+def point_jacobian(
+    model: PhysicsModel, S: jax.Array, points: jax.Array, body_ids: np.ndarray
+) -> jax.Array:
+    """J (B, N, P, 3): generalized-coordinate rows of each point's
+    world-velocity components, for points attached to bodies `body_ids`
+    (static). Row (d, p, axis) = S_d . [p x e_axis; e_axis], masked so only
+    ancestors of the owning body contribute.
 
     The same rows map world point-forces to generalized forces (Q = J f) —
     the role gymtorch's pointer aliasing + PhysX's internal solver played in
     the reference, now one einsum.
     """
-    B, P = points.shape[:2]
     eye = jnp.eye(3)
     # Plücker force vector per (point, axis): [p x e; e]  -> (B, P, 3, 6)
     p_cross_e = jnp.cross(points[..., None, :], eye)  # (B, P, 3, 3)
     W = jnp.concatenate([p_cross_e, jnp.broadcast_to(eye, p_cross_e.shape)], axis=-1)
     J = jnp.einsum("bni,bpai->bnpa", S, W, precision=_PREC)  # (B, N, P, 3)
     dof_body = _dof_body_ids(model)
-    mask = model.ancestor_mask[model.contact_body][:, dof_body].T  # (N, P)
+    mask = model.ancestor_mask[body_ids][:, dof_body].T  # (N, P)
     return J * jnp.asarray(mask)[None, :, :, None]
+
+
+def contact_jacobian(model: PhysicsModel, S: jax.Array, points: jax.Array) -> jax.Array:
+    """Ground-contact point Jacobians (see point_jacobian)."""
+    return point_jacobian(model, S, points, model.contact_body)
+
+
+# ---------------------------------------------------------------------------
+# Self-collision narrow phase (capsule-capsule per allowed body pair)
+# ---------------------------------------------------------------------------
+
+
+def _segment_closest_points(p1, q1, p2, q2, eps=1e-9):
+    """Branch-free closest points between segments [p1,q1] and [p2,q2]
+    (Ericson, Real-Time Collision Detection §5.1.9), batched over leading
+    dims. Degenerate (zero-length = sphere) segments handled via masked
+    selects. Returns (cp1, cp2)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.sum(d1 * d1, -1)
+    e = jnp.sum(d2 * d2, -1)
+    f = jnp.sum(d2 * r, -1)
+    c = jnp.sum(d1 * r, -1)
+    b = jnp.sum(d1 * d2, -1)
+
+    a_ok = a > eps
+    e_ok = e > eps
+    a_safe = jnp.where(a_ok, a, 1.0)
+    e_safe = jnp.where(e_ok, e, 1.0)
+
+    denom = a * e - b * b
+    s0 = jnp.where(denom > eps, jnp.clip((b * f - c * e) / jnp.where(denom > eps, denom, 1.0), 0.0, 1.0), 0.0)
+    t0 = jnp.clip((b * s0 + f) / e_safe, 0.0, 1.0)
+    s_gen = jnp.clip((b * t0 - c) / a_safe, 0.0, 1.0)
+
+    s = jnp.where(a_ok & e_ok, s_gen, jnp.where(a_ok, jnp.clip(-c / a_safe, 0.0, 1.0), 0.0))
+    t = jnp.where(a_ok & e_ok, t0, jnp.where(e_ok, jnp.clip(f / e_safe, 0.0, 1.0), 0.0))
+    return p1 + s[..., None] * d1, p2 + t[..., None] * d2
+
+
+def _tangent_basis(n):
+    """Orthonormal (t1, t2) ⊥ n, branch-free (Duff et al. 2017)."""
+    s = jnp.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t1 = jnp.stack([1.0 + s * n[..., 0] ** 2 * a, s * b, -s * n[..., 0]], -1)
+    t2 = jnp.stack([b, s + n[..., 1] ** 2 * a, -n[..., 1]], -1)
+    return t1, t2
+
+
+def self_contact_kinematics(model: PhysicsModel, frame: BodyFrame):
+    """Narrow phase over the precomputed allowed body pairs (model.pair_*).
+
+    Replaces PhysX's filtered self-collision (`humanoid_phc.py:370-381`) with
+    one vectorized capsule-capsule pass. Returns, per pair: surface contact
+    points on each body (world), relative velocity at the contact, the
+    world->contact rotation (rows t1, t2, n with n pointing from body_b to
+    body_a), penetration depth and an active mask.
+    """
+    ba = model.pair_body[:, 0]
+    bb = model.pair_body[:, 1]
+    seg = jnp.asarray(model.pair_seg)  # (K, 2, 2, 3) local endpoints
+    rad = jnp.asarray(model.pair_rad)  # (K, 2)
+
+    rot_a, pos_a = frame.rot[:, ba], frame.pos[:, ba]
+    rot_b, pos_b = frame.rot[:, bb], frame.pos[:, bb]
+    p1 = pos_a + T.quat_rotate(rot_a, seg[None, :, 0, 0])
+    q1 = pos_a + T.quat_rotate(rot_a, seg[None, :, 0, 1])
+    p2 = pos_b + T.quat_rotate(rot_b, seg[None, :, 1, 0])
+    q2 = pos_b + T.quat_rotate(rot_b, seg[None, :, 1, 1])
+
+    cp1, cp2 = _segment_closest_points(p1, q1, p2, q2)
+    diff = cp1 - cp2
+    dist = jnp.linalg.norm(diff, axis=-1)
+    n = jnp.where((dist > 1e-6)[..., None], diff / jnp.maximum(dist, 1e-6)[..., None], jnp.array([0.0, 0.0, 1.0]))
+    pen = jnp.maximum(rad[None, :, 0] + rad[None, :, 1] - dist, 0.0)
+    active = (pen > 0.0).astype(diff.dtype)
+
+    # surface points (coincident up to penetration depth)
+    x_a = cp1 - rad[None, :, 0, None] * n
+    x_b = cp2 + rad[None, :, 1, None] * n
+
+    v_a = frame.lin_vel[:, ba] + jnp.cross(frame.ang_vel[:, ba], x_a - pos_a)
+    v_b = frame.lin_vel[:, bb] + jnp.cross(frame.ang_vel[:, bb], x_b - pos_b)
+    v_rel = v_a - v_b
+
+    t1, t2 = _tangent_basis(n)
+    R_c = jnp.stack([t1, t2, n], axis=-2)  # (B, K, 3, 3) rows = contact axes
+    return x_a, x_b, v_rel, R_c, pen, active
 
 
 # ---------------------------------------------------------------------------
@@ -381,33 +473,50 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     tau_act = pd_actuation(model, state, pd_target, dt)
     tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
 
-    # ---- linearly-implicit ground contacts --------------------------------
+    # ---- linearly-implicit contacts (ground plane + self-collision) -------
     # Spring-damper contact evaluated at the END-of-step velocity:
     #   f_n = k*pen - (d + k*dt) * v_n(t+dt),  f_t = -c_t * v_t(t+dt)
     # with c_t = mu*f_n_pred/(|v_t|+eps) (regularized Coulomb, coefficient
     # frozen at the current state). Moving the velocity terms to the LHS
     # (LHS += dt * J diag(c) J^T) makes the stiff contact unconditionally
     # stable in ONE Cholesky solve — no PGS iterations, no bounce explosion.
+    # Ground contacts live in the world frame (t1=x, t2=y, n=z); self-
+    # collision pairs get a per-contact frame R_c and a relative-velocity
+    # Jacobian J_a(x_a) − J_b(x_b) rotated into it. One shared assembly.
     points, v_point, pen, active = contact_kinematics(model, frame)
     Jc = contact_jacobian(model, S, points)  # (B, N, P, 3)
+    v_cf = v_point
+
+    K = model.pair_body.shape[0]
+    if K:
+        x_a, x_b, v_rel, R_c, pen_s, active_s = self_contact_kinematics(model, frame)
+        Jw = point_jacobian(model, S, x_a, model.pair_body[:, 0]) - point_jacobian(
+            model, S, x_b, model.pair_body[:, 1]
+        )
+        Jc_s = jnp.einsum("bnkw,bkaw->bnka", Jw, R_c, precision=_PREC)
+        v_cf_s = jnp.einsum("bkaw,bkw->bka", R_c, v_rel, precision=_PREC)
+        Jc = jnp.concatenate([Jc, Jc_s], axis=2)
+        v_cf = jnp.concatenate([v_cf, v_cf_s], axis=1)
+        pen = jnp.concatenate([pen, pen_s], axis=1)
+        active = jnp.concatenate([active, active_s], axis=1)
 
     k, d = model.contact_stiffness, model.contact_damping
-    f_n_pred = jnp.maximum(k * pen - d * v_point[..., 2], 0.0) * active
-    v_t_norm = jnp.linalg.norm(v_point[..., :2], axis=-1)
+    f_n_pred = jnp.maximum(k * pen - d * v_cf[..., 2], 0.0) * active
+    v_t_norm = jnp.linalg.norm(v_cf[..., :2], axis=-1)
     c_t = model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps)
     c_n = (d + k * dt) * active
 
-    # per-(point, axis) implicit viscous coefficients
-    coef = jnp.stack([c_t, c_t, c_n], axis=-1)  # (B, P, 3)
+    # per-(contact, axis) implicit viscous coefficients
+    coef = jnp.stack([c_t, c_t, c_n], axis=-1)  # (B, P+K, 3)
 
-    # explicit RHS force at current velocities
+    # explicit RHS force at current velocities (contact frame)
     f_expl = jnp.concatenate(
         [
-            -c_t[..., None] * v_point[..., :2],
-            (k * pen * active - c_n * v_point[..., 2])[..., None],
+            -c_t[..., None] * v_cf[..., :2],
+            (k * pen * active - c_n * v_cf[..., 2])[..., None],
         ],
         axis=-1,
-    )  # (B, P, 3)
+    )  # (B, P+K, 3)
     Q_contact = jnp.einsum("bnpa,bpa->bn", Jc, f_expl, precision=_PREC)
 
     # implicit joint damping (stable PD): LHS += dt * Kd, plus contact terms
@@ -423,20 +532,29 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     v_new = state.vel + dt * qacc
 
     # post-solve contact forces for the env's contact buffer (diagnostic)
-    v_point_new = v_point + dt * jnp.einsum("bnpa,bn->bpa", Jc, qacc, precision=_PREC)
+    v_cf_new = v_cf + dt * jnp.einsum("bnpa,bn->bpa", Jc, qacc, precision=_PREC)
     f_post = jnp.concatenate(
         [
-            -c_t[..., None] * v_point_new[..., :2],
-            jnp.maximum(k * pen * active - c_n * v_point_new[..., 2], 0.0)[..., None],
+            -c_t[..., None] * v_cf_new[..., :2],
+            jnp.maximum(k * pen * active - c_n * v_cf_new[..., 2], 0.0)[..., None],
         ],
         axis=-1,
     )
     # per-body aggregation via one-hot matmul (a scatter-add with duplicate
     # indices takes milliseconds on TPU; this is one tiny MXU op)
+    P = model.contact_body.shape[0]
     body_onehot = jnp.asarray(
         (np.arange(model.num_bodies)[:, None] == model.contact_body[None, :]).astype(np.float32)
     )
-    cbf = jnp.einsum("jp,bpa->bja", body_onehot, f_post)
+    cbf = jnp.einsum("jp,bpa->bja", body_onehot, f_post[:, :P])
+    if K:
+        # pair forces back to world frame; +f on body_a, −f on body_b
+        f_world_s = jnp.einsum("bkaw,bka->bkw", R_c, f_post[:, P:], precision=_PREC)
+        sign_onehot = (
+            (np.arange(model.num_bodies)[:, None] == model.pair_body[None, :, 0]).astype(np.float32)
+            - (np.arange(model.num_bodies)[:, None] == model.pair_body[None, :, 1]).astype(np.float32)
+        )
+        cbf = cbf + jnp.einsum("jk,bkw->bjw", jnp.asarray(sign_onehot), f_world_s)
 
     # integrate: root position (world), quaternions via exponential map
     root_pos = state.root_pos + dt * v_new[:, 0:3]

@@ -45,6 +45,16 @@ class PhysicsModel:
     contact_pos: np.ndarray  # (P, 3) point in body frame
     contact_radius: np.ndarray  # (P,)
 
+    # self-collision pairs (K = 0 when disabled). Each body's collision
+    # shape is reduced to one capsule (sphere = zero-length, box = segment
+    # along its longest axis) for the pairwise narrow phase; pair selection
+    # replicates PhysX semantics (collide iff filter_a & filter_b == 0,
+    # adjacent articulation links auto-excluded) with the reference's
+    # per-shape filter table (`humanoid_phc.py:370-381`).
+    pair_body: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.int32))
+    pair_seg: np.ndarray = field(default_factory=lambda: np.zeros((0, 2, 2, 3), np.float32))
+    pair_rad: np.ndarray = field(default_factory=lambda: np.zeros((0, 2), np.float32))
+
     # parameters
     gravity: float = -9.81
     friction: float = 1.0
@@ -164,6 +174,61 @@ def _geom_contact_points(body_idx, geom):
     return [(body_idx, p, r) for p, r in zip(pts, radii)]
 
 
+# Per-shape PhysX collision filters for the capsule (non-mesh) humanoid —
+# the reference sets these when `robot.has_self_collision` is on
+# (`humanoid_phc.py:370-381`); shapes a, b collide iff filter_a & filter_b == 0.
+_SELF_COLLISION_FILTERS = (
+    0, 0, 7, 16, 12, 0, 56, 2, 33, 128, 0, 192, 0, 64, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+)  # fmt: skip
+
+
+def _geom_collision_segment(geom):
+    """Reduce a geom to one capsule (segment + radius) for the pairwise
+    narrow phase. Spheres are zero-length capsules; boxes become a segment
+    along their longest axis with the mean of the other two half-extents as
+    radius (boxes are only the feet; this approximation affects only
+    self-collision, not mass properties or ground contact)."""
+    gtype, size, loc, quat, density = geom
+    if gtype == "sphere":
+        c = np.asarray(loc[1], np.float64)
+        return c, c, float(size[0])
+    if gtype == "capsule":
+        ft = np.asarray(loc[1], np.float64)
+        return ft[:3], ft[3:], float(size[0])
+    if gtype == "box":
+        c = np.asarray(loc[1], np.float64)
+        half = np.asarray(size, np.float64)
+        k = int(np.argmax(half))
+        axis = np.zeros(3)
+        others = [half[i] for i in range(3) if i != k]
+        r = float(np.mean(others))
+        axis[k] = max(half[k] - r, 0.0)
+        return c - axis, c + axis, r
+    raise ValueError(f"unsupported geom type {gtype}")
+
+
+def _build_collision_pairs(parents, geoms):
+    """All body pairs that PhysX would test: i<j, not parent-child (adjacent
+    articulation links never collide), filters disjoint."""
+    J = len(geoms)
+    segs = [_geom_collision_segment(g) for g in geoms]
+    pair_body, pair_seg, pair_rad = [], [], []
+    for i in range(J):
+        for j in range(i + 1, J):
+            if parents[j] == i or parents[i] == j:
+                continue
+            if _SELF_COLLISION_FILTERS[i] & _SELF_COLLISION_FILTERS[j]:
+                continue
+            pair_body.append((i, j))
+            pair_seg.append(((segs[i][0], segs[i][1]), (segs[j][0], segs[j][1])))
+            pair_rad.append((segs[i][2], segs[j][2]))
+    return (
+        np.asarray(pair_body, np.int32).reshape(-1, 2),
+        np.asarray(pair_seg, np.float32).reshape(-1, 2, 2, 3),
+        np.asarray(pair_rad, np.float32).reshape(-1, 2),
+    )
+
+
 def build_smpl_model(
     kp_scale: float = 1.0,
     kd_scale: float = 1.0,
@@ -172,6 +237,7 @@ def build_smpl_model(
     contact_stiffness: float = 2.0e4,
     contact_damping: float = 6.0e2,
     friction: float = 1.0,
+    self_collision: bool = True,
 ) -> PhysicsModel:
     """Build the SMPL humanoid physics model from the asset tables.
 
@@ -210,6 +276,13 @@ def build_smpl_model(
             ancestor[i, j] = True
             j = int(parents[j])
 
+    if self_collision:
+        pair_body, pair_seg, pair_rad = _build_collision_pairs(parents, H.geoms())
+    else:
+        pair_body = np.zeros((0, 2), np.int32)
+        pair_seg = np.zeros((0, 2, 2, 3), np.float32)
+        pair_rad = np.zeros((0, 2), np.float32)
+
     return PhysicsModel(
         body_names=names,
         parents=parents,
@@ -226,6 +299,9 @@ def build_smpl_model(
         contact_body=np.asarray([c[0] for c in contact_list], np.int32),
         contact_pos=np.asarray([c[1] for c in contact_list], np.float32),
         contact_radius=np.asarray([c[2] for c in contact_list], np.float32),
+        pair_body=pair_body,
+        pair_seg=pair_seg,
+        pair_rad=pair_rad,
         dt=dt,
         substeps=substeps,
         contact_stiffness=contact_stiffness,

@@ -119,6 +119,46 @@ class LSTMCriticPolicy(nn.Module):
         return (zeros, zeros)
 
 
+class LSTMActorPolicy(nn.Module):
+    """LSTM actor + MLP critic (reference `lstm_policy.py:91-148`).
+
+    Actor trunk (2048, 2048, 1024 -> hidden, SiLU) feeds the LSTM; mu head
+    reads the recurrent state through SiLU. The critic is a stateless ReLU
+    MLP (1024, 1024, 512, 256 -> 1) on the normalized obs. Same time-major
+    (T, B, obs) + carry interface as LSTMCriticPolicy.
+    """
+
+    action_dim: int
+    hidden_size: int = 512
+
+    def setup(self):
+        self.actor_trunk = MLP(sizes=(2048, 2048, 1024, self.hidden_size), act="silu")
+        self.lstm = nn.OptimizedLSTMCell(self.hidden_size)
+        self.mu_head = _dense(self.action_dim, std=0.01)
+        self.critic = MLP(sizes=(1024, 1024, 512, 256, 1), act="relu", out_std=0.01)
+
+    def __call__(self, obs_tm, carry):
+        """obs_tm: (T, B, obs); carry: ((B,H),(B,H)). Returns (mu (T,B,A),
+        value (T,B), new_carry)."""
+        enc = nn.silu(self.actor_trunk(obs_tm))
+
+        def scan_fn(cell, c, x):
+            c, h = cell(c, x)
+            return c, h
+
+        scan = nn.transforms.scan(
+            scan_fn, variable_broadcast="params", split_rngs={"params": False}
+        )
+        carry, hs = scan(self.lstm, carry, enc)
+        mu = self.mu_head(nn.silu(hs))
+        value = self.critic(obs_tm)[..., 0]
+        return mu, value, carry
+
+    def initial_carry(self, batch: int):
+        zeros = jnp.zeros((batch, self.hidden_size))
+        return (zeros, zeros)
+
+
 class Discriminator(nn.Module):
     """AMP discriminator MLP (reference `discriminator_policy.py:43-53`)."""
 

@@ -103,9 +103,9 @@ class PPO:
 def make_ppo(cfg: TrainConfig, env: henv.HumanoidEnv, policy_cfg) -> PPO:
     use_lstm = bool(getattr(policy_cfg, "use_lstm", False))
     if use_lstm:
-        policy = policies.LSTMCriticPolicy(
-            action_dim=env.num_dofs, hidden_size=policy_cfg.hidden_size
-        )
+        variant = getattr(policy_cfg, "lstm_variant", "critic")
+        cls = {"critic": policies.LSTMCriticPolicy, "actor": policies.LSTMActorPolicy}[variant]
+        policy = cls(action_dim=env.num_dofs, hidden_size=policy_cfg.hidden_size)
     else:
         policy = policies.PHCPolicy(
             action_dim=env.num_dofs,

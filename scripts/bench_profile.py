@@ -1,0 +1,173 @@
+"""Phase-level TPU profile of the train step: rollout / GAE / update /
+physics / solver, each timed as its own jitted program with scalar-fetch
+synchronization (axon tunnel: block_until_ready is a no-op).
+
+Usage: python scripts/bench_profile.py [--envs 4096]
+"""
+
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+SAMPLE_PKL = "/root/reference/sample_data/cmu_mocap_05_06.pkl"
+
+
+def timeit(name, fn, *args, iters=3):
+    """fn must return something whose first leaf is fetchable."""
+    import jax
+
+    out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(np.asarray(leaf).ravel()[0])  # compile + sync
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(leaf).ravel()[0])
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
+    print(f"{name:40s} {dt*1000:9.1f} ms")
+    return dt
+
+
+def main():
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 4096))
+
+    import jax
+    import jax.numpy as jnp
+
+    from phc_tpu.runtime.jax_setup import setup_cache
+
+    setup_cache()
+    print("devices:", jax.devices())
+
+    from phc_tpu.config import EnvConfig, TrainConfig, PolicyConfig
+    from phc_tpu.env import humanoid_env as henv
+    from phc_tpu.motionlib import MotionLib
+    from phc_tpu.rl import ppo as ppo_mod
+    from phc_tpu.physics import engine as eng
+
+    env_cfg = EnvConfig(num_envs=num_envs, motion_file=SAMPLE_PKL)
+    train_cfg = TrainConfig(batch_size=num_envs * 32, minibatch_size=num_envs * 32 // 4)
+    pol_cfg = PolicyConfig()
+
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True,
+                    step_dt=env_cfg.physics.sim_timestep * env_cfg.physics.control_freq_inv)
+    data = lib.load_motions(num_motions=min(num_envs, 256))
+    env = henv.make_env(env_cfg, motion_ids=np.zeros(num_envs, np.int64))
+    ppo = ppo_mod.make_ppo(train_cfg, env, pol_cfg)
+
+    state = jax.jit(lambda r: ppo_mod.init_state(ppo, r))(jax.random.PRNGKey(0))
+    runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, jax.random.PRNGKey(1))
+    float(jax.jit(lambda s, r: s.global_step + r.obs.sum())(state, runner))
+    print("init done", flush=True)
+
+    # --- full step ---------------------------------------------------------
+    full = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
+    t_full = timeit("full train_step", lambda: full(data, state, runner))
+
+    # --- rollout only ------------------------------------------------------
+    roll = jax.jit(lambda d, s, r: ppo_mod.collect_rollout(ppo, d, s, r))
+    t_roll = timeit("rollout (32 env steps + fwd)", lambda: roll(data, state, runner))
+
+    # --- physics only: 32 control steps of pure sim -----------------------
+    model = env.model
+    phys_state = runner.env_state.physics if hasattr(runner.env_state, "physics") else None
+    if phys_state is None:
+        # find the PhysicsState leaf
+        for f in runner.env_state._fields:
+            v = getattr(runner.env_state, f)
+            if isinstance(v, eng.PhysicsState):
+                phys_state = v
+                break
+    tgt = jnp.zeros((num_envs, 69))
+
+    def phys32(ps):
+        def body(s, _):
+            s2, _ = eng.step(model, s, tgt)
+            return s2, None
+        out, _ = jax.lax.scan(body, ps, None, length=32)
+        return out.root_pos
+
+    t_phys = timeit("physics only (32 ctrl = 64 substeps)", jax.jit(phys32), phys_state)
+
+    # --- one substep pieces ------------------------------------------------
+    def substep_parts(ps):
+        frame = eng.forward_kinematics(model, ps)
+        S = eng._motion_subspace(model, frame)
+        M = eng.mass_matrix(model, frame)
+        C = eng.bias_forces(model, frame, ps)
+        return M.sum() + C.sum() + S.sum() + frame.pos.sum()
+
+    def scan64(fn):
+        def wrapped(ps):
+            def body(c, _):
+                return c + fn(ps), None
+            out, _ = jax.lax.scan(body, 0.0, None, length=64)
+            return out
+        return wrapped
+
+    timeit("64x FK+S+M+C (no contacts/solve)", jax.jit(scan64(substep_parts)), phys_state)
+
+    # cholesky + solve alone on a representative SPD matrix
+    frame = jax.jit(lambda ps: eng.forward_kinematics(model, ps))(phys_state)
+    Mmat = jax.jit(lambda f: eng.mass_matrix(model, f))(frame)
+
+    def chol64(M):
+        rhs = jnp.ones((num_envs, M.shape[-1]))
+        def body(c, _):
+            L = jnp.linalg.cholesky(M + jnp.eye(M.shape[-1]) * c * 1e-6)
+            x = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
+            return c + x.sum() * 1e-20 + 1.0, None
+        out, _ = jax.lax.scan(body, 0.0, None, length=64)
+        return out
+
+    timeit("64x cholesky+solve (75x75 x B)", jax.jit(chol64), Mmat)
+
+    # --- contacts assembly alone -------------------------------------------
+    def contacts64(ps):
+        frame = eng.forward_kinematics(model, ps)
+        S = eng._motion_subspace(model, frame)
+
+        def one(_c, _):
+            points, v_point, pen, active = eng.contact_kinematics(model, frame)
+            Jc = eng.contact_jacobian(model, S, points)
+            K = model.pair_body.shape[0]
+            acc = Jc.sum()
+            if K:
+                x_a, x_b, v_rel, R_c, pen_s, active_s = eng.self_contact_kinematics(model, frame)
+                Jw = eng.point_jacobian(model, S, x_a, model.pair_body[:, 0]) - eng.point_jacobian(
+                    model, S, x_b, model.pair_body[:, 1])
+                Jc_s = jnp.einsum("bnkw,bkaw->bnka", Jw, R_c)
+                Jfull = jnp.concatenate([Jc, Jc_s], axis=2)
+            else:
+                Jfull = Jc
+            coef = jnp.ones(Jfull.shape[:1] + Jfull.shape[2:])
+            lhs = jnp.einsum("bnpa,bpa,bmpa->bnm", Jfull, coef, Jfull)
+            return _c + lhs.sum() * 1e-20, None
+
+        out, _ = jax.lax.scan(one, 0.0, None, length=64)
+        return out
+
+    timeit("64x contact jac + LHS assembly", jax.jit(contacts64), phys_state)
+
+    # --- GAE ---------------------------------------------------------------
+    from phc_tpu.rl import gae as gae_mod
+    T = 32
+    rew = jnp.ones((T, num_envs))
+    val = jnp.ones((T, num_envs))
+    dones = jnp.zeros((T, num_envs))
+    timeit("GAE scan", jax.jit(lambda d, v, r: gae_mod.compute_gae(d, v, r, 0.98, 0.2).sum()), dones, val, rew)
+
+    # --- update only --------------------------------------------------------
+    print(f"update ~= {1000*(t_full - t_roll):9.1f} ms (full - rollout)")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,28 @@ def test_train_step_runs_and_updates():
     assert np.isfinite(np.asarray(losses["policy_loss"]))
 
 
+@pytest.mark.parametrize("variant", ["critic", "actor"])
+def test_train_step_lstm_variants(variant):
+    """Both recurrent policies (reference `lstm_policy.py:25-87` critic-LSTM
+    and :91-148 actor-LSTM) run a full train step with BPTT."""
+    env_cfg = EnvConfig(num_envs=B, motion_file=SAMPLE_PKL)
+    train_cfg = TrainConfig(batch_size=B * T, minibatch_size=B * T // 2, bptt_horizon=4)
+    pol_cfg = PolicyConfig(hidden_size=16, use_lstm=True, lstm_variant=variant)
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=1.0 / 30.0)
+    data = lib.load_motions(num_motions=B)
+    env = henv.make_env(env_cfg, motion_ids=np.zeros(B, np.int64))
+    ppo = ppo_mod.make_ppo(train_cfg, env, pol_cfg)
+
+    state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
+    train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, runner, losses = train_step(data, state, runner)
+    for k, v in losses.items():
+        assert np.isfinite(np.asarray(v)).all(), f"{k} not finite: {v}"
+    assert not np.allclose(p0, jax.tree_util.tree_leaves(state.params)[0])
+
+
 def test_train_step_with_amp_discriminator():
     lib, data, env, ppo = make_setup(use_amp=True)
     assert ppo.disc is not None
