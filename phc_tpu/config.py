@@ -189,8 +189,25 @@ class TrainConfig:
 
 
 @dataclass
+class SweepConfig:
+    """Random-search hyperparameter sweep over the CARBS search space the
+    reference documents but never implemented (`scripts/train.py:458-481`
+    has no sweep branch; README:80-83 'not fully supported yet'). Ranges
+    follow the published sweep outcome's neighborhoods (README:102-113)."""
+
+    num_trials: int = 16
+    steps_per_trial: int = 2_000_000
+    # log-uniform ranges
+    lr_range: Tuple[float, float] = (1e-5, 1e-3)
+    one_minus_gamma_range: Tuple[float, float] = (0.005, 0.05)
+    lambda_range: Tuple[float, float] = (0.05, 0.95)
+    clip_range: Tuple[float, float] = (0.003, 0.1)
+    grad_norm_range: Tuple[float, float] = (1.0, 50.0)
+
+
+@dataclass
 class AppConfig:
-    mode: str = "train"  # train | play | eval
+    mode: str = "train"  # train | play | eval | sweep
     exp_name: str = "phc_tpu"
     checkpoint_path: Optional[str] = None
     env: EnvConfig = field(default_factory=EnvConfig)
@@ -198,6 +215,7 @@ class AppConfig:
     rnn: RNNConfig = field(default_factory=RNNConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
+    sweep: SweepConfig = field(default_factory=SweepConfig)
 
 
 # ---------------------------------------------------------------------------
@@ -215,7 +233,8 @@ def _coerce(current, raw: str):
     if isinstance(current, StateInit):
         return StateInit[raw]
     if isinstance(current, tuple):
-        return tuple(int(x) for x in raw.strip("()[] ").split(",") if x)
+        cast = float if any(isinstance(v, float) for v in current) else int
+        return tuple(cast(x) for x in raw.strip("()[] ").split(",") if x)
     if current is None:
         # best-effort: try int, float, then string
         for cast in (int, float):

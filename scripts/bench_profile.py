@@ -97,65 +97,67 @@ def main():
 
     t_phys = timeit("physics only (32 ctrl = 64 substeps)", jax.jit(phys32), phys_state)
 
-    # --- one substep pieces ------------------------------------------------
-    def substep_parts(ps):
-        frame = eng.forward_kinematics(model, ps)
-        S = eng._motion_subspace(model, frame)
-        M = eng.mass_matrix(model, frame)
-        C = eng.bias_forces(model, frame, ps)
-        return M.sum() + C.sum() + S.sum() + frame.pos.sum()
-
+    # --- one substep pieces (hoist-proof: perturb state per iteration) ----
     def scan64(fn):
+        """64x scan; the body input depends on the carry so XLA cannot
+        hoist the computation out of the loop as loop-invariant."""
+
         def wrapped(ps):
             def body(c, _):
-                return c + fn(ps), None
+                p = ps._replace(root_pos=ps.root_pos + c * 1e-12)
+                return c + 1.0 + fn(p) * 1e-20, None
+
             out, _ = jax.lax.scan(body, 0.0, None, length=64)
             return out
+
         return wrapped
 
-    timeit("64x FK+S+M+C (no contacts/solve)", jax.jit(scan64(substep_parts)), phys_state)
+    from phc_tpu.physics.solver import spd_solve
 
-    # cholesky + solve alone on a representative SPD matrix
-    frame = jax.jit(lambda ps: eng.forward_kinematics(model, ps))(phys_state)
-    Mmat = jax.jit(lambda f: eng.mass_matrix(model, f))(frame)
+    def fk_only(p):
+        return eng.forward_kinematics(model, p).pos.sum()
 
-    def chol64(M):
-        rhs = jnp.ones((num_envs, M.shape[-1]))
-        def body(c, _):
-            L = jnp.linalg.cholesky(M + jnp.eye(M.shape[-1]) * c * 1e-6)
-            x = jax.scipy.linalg.cho_solve((L, True), rhs[..., None])[..., 0]
-            return c + x.sum() * 1e-20 + 1.0, None
-        out, _ = jax.lax.scan(body, 0.0, None, length=64)
-        return out
+    def fk_s(p):
+        f = eng.forward_kinematics(model, p)
+        return eng._motion_subspace(model, f).sum()
 
-    timeit("64x cholesky+solve (75x75 x B)", jax.jit(chol64), Mmat)
+    def fk_m(p):
+        f = eng.forward_kinematics(model, p)
+        return eng.mass_matrix(model, f).sum()
 
-    # --- contacts assembly alone -------------------------------------------
-    def contacts64(ps):
-        frame = eng.forward_kinematics(model, ps)
-        S = eng._motion_subspace(model, frame)
+    def fk_c(p):
+        f = eng.forward_kinematics(model, p)
+        return eng.bias_forces(model, f, p).sum()
 
-        def one(_c, _):
-            points, v_point, pen, active = eng.contact_kinematics(model, frame)
-            Jc = eng.contact_jacobian(model, S, points)
-            K = model.pair_body.shape[0]
-            acc = Jc.sum()
-            if K:
-                x_a, x_b, v_rel, R_c, pen_s, active_s = eng.self_contact_kinematics(model, frame)
-                Jw = eng.point_jacobian(model, S, x_a, model.pair_body[:, 0]) - eng.point_jacobian(
-                    model, S, x_b, model.pair_body[:, 1])
-                Jc_s = jnp.einsum("bnkw,bkaw->bnka", Jw, R_c)
-                Jfull = jnp.concatenate([Jc, Jc_s], axis=2)
-            else:
-                Jfull = Jc
-            coef = jnp.ones(Jfull.shape[:1] + Jfull.shape[2:])
-            lhs = jnp.einsum("bnpa,bpa,bmpa->bnm", Jfull, coef, Jfull)
-            return _c + lhs.sum() * 1e-20, None
+    def fk_dyn(p):
+        f = eng.forward_kinematics(model, p)
+        I_sp = eng._spatial_inertia_world(model, f)
+        S = eng._motion_subspace(model, f)
+        M = eng._mass_matrix_from(model, I_sp, S)
+        C = eng._bias_from(model, f, p, I_sp, S)
+        return M.sum() + C.sum()
 
-        out, _ = jax.lax.scan(one, 0.0, None, length=64)
-        return out
+    def fk_contact(p):
+        f = eng.forward_kinematics(model, p)
+        S = eng._motion_subspace(model, f)
+        Jc, v_cf, pen, active, R_all, body_a, body_b = eng._contact_system(model, f, S)
+        return Jc.sum() + v_cf.sum()
 
-    timeit("64x contact jac + LHS assembly", jax.jit(contacts64), phys_state)
+    def fk_m_solve(p):
+        f = eng.forward_kinematics(model, p)
+        M = eng.mass_matrix(model, f)
+        return spd_solve(M, p.vel, base=24, refine=2).sum()
+
+    def substep_full(p):
+        s2, info = eng._physics_substep(model, p, tgt)
+        return s2.root_pos.sum()
+
+    timeit("64x FK only", jax.jit(scan64(fk_only)), phys_state)
+    timeit("64x FK+S", jax.jit(scan64(fk_s)), phys_state)
+    timeit("64x FK+dynamics (M+C shared)", jax.jit(scan64(fk_dyn)), phys_state)
+    timeit("64x FK+contact system", jax.jit(scan64(fk_contact)), phys_state)
+    timeit("64x FK+M+spd_solve", jax.jit(scan64(fk_m_solve)), phys_state)
+    timeit("64x full substep", jax.jit(scan64(substep_full)), phys_state)
 
     # --- GAE ---------------------------------------------------------------
     from phc_tpu.rl import gae as gae_mod

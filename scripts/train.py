@@ -198,6 +198,68 @@ def mode_play(cfg: AppConfig):
     print(f"rollout saved: {out_path} ({len(frames)} frames)")
 
 
+def mode_sweep(cfg: AppConfig):
+    """Random-search hyperparameter sweep — a working replacement for the
+    reference's declared-but-unimplemented carbs sweep mode (reference
+    `scripts/train.py:458-481` has no sweep branch; README:80-83). Samples
+    the CARBS search space log-uniformly (ranges around the published
+    optimum, README:102-113), runs a short training per trial, and ranks
+    trials by mean imitation reward over the final quarter of epochs."""
+    import dataclasses
+
+    rng = np.random.default_rng(cfg.train.seed)
+    sw = cfg.sweep
+    results = []
+    out_dir = Path(cfg.train.data_dir) / cfg.exp_name
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def log_uniform(lo, hi):
+        return float(10 ** rng.uniform(np.log10(lo), np.log10(hi)))
+
+    for trial in range(sw.num_trials):
+        sample = {
+            "learning_rate": log_uniform(*sw.lr_range),
+            "gamma": 1.0 - log_uniform(*sw.one_minus_gamma_range),
+            "gae_lambda": log_uniform(*sw.lambda_range),
+            "clip_coef": log_uniform(*sw.clip_range),
+            "max_grad_norm": log_uniform(*sw.grad_norm_range),
+        }
+        tcfg = dataclasses.replace(
+            cfg.train,
+            **sample,
+            total_timesteps=sw.steps_per_trial,
+            eval_interval=0,
+            checkpoint_interval=10**9,
+            seed=cfg.train.seed + trial,
+        )
+        trial_cfg = dataclasses.replace(cfg, train=tcfg)
+        print(f"--- sweep trial {trial}: {json.dumps(sample)}", flush=True)
+
+        lib, data, env, ppo = build(trial_cfg)
+        r = jax.random.PRNGKey(tcfg.seed)
+        r, r_init, r_env = jax.random.split(r, 3)
+        state = jax.jit(lambda rr: ppo_mod.init_state(ppo, rr))(r_init)
+        runner = jax.jit(lambda d, rr: ppo_mod.init_runner(ppo, d, rr))(data, r_env)
+        train_step = jax.jit(lambda d, s, rr: ppo_mod.train_step(ppo, d, s, rr))
+
+        rewards = []
+        global_step = 0.0
+        while global_step < tcfg.total_timesteps:
+            state, runner, losses = train_step(data, state, runner)
+            rewards.append(float(np.asarray(losses["mean_reward"])))
+            global_step = float(np.asarray(state.global_step))
+        tail = rewards[-max(1, len(rewards) // 4):]
+        score = float(np.mean(tail))
+        results.append({"trial": trial, "score": score, **sample})
+        print(f"trial {trial}: score {score:.4f}", flush=True)
+        (out_dir / "sweep_results.json").write_text(
+            json.dumps(sorted(results, key=lambda x: -x["score"]), indent=2)
+        )
+
+    best = max(results, key=lambda x: x["score"])
+    print("best:", json.dumps(best))
+
+
 if __name__ == "__main__":
     cfg = parse_cli()
     if cfg.mode == "train":
@@ -206,5 +268,7 @@ if __name__ == "__main__":
         mode_eval(cfg)
     elif cfg.mode == "play":
         mode_play(cfg)
+    elif cfg.mode == "sweep":
+        mode_sweep(cfg)
     else:
         raise SystemExit(f"unknown mode {cfg.mode}")

@@ -140,3 +140,31 @@ def test_self_collision_stable_at_rest(model):
 def test_disabled_model_has_no_pairs():
     m = build_smpl_model(self_collision=False)
     assert m.pair_body.shape == (0, 2)
+
+
+def test_compaction_matches_dense():
+    """top-k contact compaction is exact while <= max_contacts candidates
+    are active: stepping from a grounded pose must match the dense path."""
+    import dataclasses
+
+    model_c = build_smpl_model()
+    model_d = dataclasses.replace(model_c, max_contacts=0)
+    assert model_c.max_contacts > 0
+
+    state = default_state(model_c, batch=4, height=0.91)
+    rngv = np.random.default_rng(0).normal(size=(4, model_c.num_dofs)) * 0.3
+    state = state._replace(vel=jnp.asarray(rngv.astype(np.float32)))
+    tgt = jnp.asarray(0.1 * np.random.default_rng(1).normal(size=(4, 69)).astype(np.float32))
+
+    sc, sd = state, state
+    step_c = jax.jit(lambda s: step(model_c, s, tgt))
+    step_d = jax.jit(lambda s: step(model_d, s, tgt))
+    for _ in range(10):
+        sc, info_c = step_c(sc)
+        sd, info_d = step_d(sd)
+    np.testing.assert_allclose(np.asarray(sc.root_pos), np.asarray(sd.root_pos), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sc.vel), np.asarray(sd.vel), atol=5e-3)
+    np.testing.assert_allclose(
+        np.asarray(info_c["contact_forces"]), np.asarray(info_d["contact_forces"]),
+        atol=1e-2, rtol=1e-3,
+    )
