@@ -116,7 +116,10 @@ def shard_train_step(mesh_spec: MeshSpec, train_step_fn):
     gradients/statistics reduce over the data axis; learner state is
     replicated, the runner (env state + obs + LSTM carry) is sharded.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     mesh = mesh_spec.mesh
     pspec_batch = P(DATA_AXIS)
@@ -149,8 +152,10 @@ def shard_train_step(mesh_spec: MeshSpec, train_step_fn):
         def body(state, runner, data):
             return fn(data=data, state=state, runner=runner)
 
-        return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)(
-            state, runner, data
-        )
+        try:
+            sm = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+        except TypeError:  # older jax spells it check_rep
+            sm = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+        return sm(state, runner, data)
 
     return wrapped

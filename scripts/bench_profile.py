@@ -140,8 +140,8 @@ def main():
     def fk_contact(p):
         f = eng.forward_kinematics(model, p)
         S = eng._motion_subspace(model, f)
-        Jc, v_cf, pen, active, R_all, body_a, body_b = eng._contact_system(model, f, S)
-        return Jc.sum() + v_cf.sum()
+        cs = eng._contact_system(model, f, S)
+        return cs.Jm.sum() + cs.v_t1.sum() + cs.v_n.sum()
 
     def fk_m_solve(p):
         f = eng.forward_kinematics(model, p)
@@ -158,6 +158,21 @@ def main():
     timeit("64x FK+contact system", jax.jit(scan64(fk_contact)), phys_state)
     timeit("64x FK+M+spd_solve", jax.jit(scan64(fk_m_solve)), phys_state)
     timeit("64x full substep", jax.jit(scan64(substep_full)), phys_state)
+
+    # --- knockout attribution (each removes one piece from the REAL substep;
+    # deltas vs "full" are unconfounded by measurement barriers) -----------
+    for name, sk in [
+        ("- solve", {"solve"}),
+        ("- contacts", {"contacts"}),
+        ("- contacts - solve", {"contacts", "solve"}),
+        ("- mass - bias", {"mass", "bias"}),
+        ("bare (all knocked out)", {"mass", "bias", "contacts", "solve"}),
+    ]:
+        eng._DEBUG_SKIP = frozenset(sk)
+        try:
+            timeit(f"64x substep {name}", jax.jit(scan64(substep_full)), phys_state)
+        finally:
+            eng._DEBUG_SKIP = frozenset()
 
     # --- GAE ---------------------------------------------------------------
     from phc_tpu.rl import gae as gae_mod

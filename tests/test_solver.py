@@ -72,3 +72,18 @@ def test_spd_solve_odd_sizes():
         ).astype(np.float64)
         rel = np.linalg.norm(x - x_ref, axis=-1) / np.linalg.norm(x_ref, axis=-1)
         assert rel.max() < 1e-3, (n, rel.max())
+
+
+def test_chol_solve_lanes_matches_oracle():
+    """Pallas lanes kernel (interpret mode on CPU) vs numpy direct solve,
+    with both matrix-dim and batch-dim padding exercised."""
+    from phc_tpu.physics.solver import chol_solve_lanes
+
+    for B, n, seed in ((5, 12, 0), (3, 33, 1)):
+        A, b = _spd_batch(B=B, n=n, span=(-1, 2), seed=seed)
+        x_ref = np.linalg.solve(A, b[..., None])[..., 0]
+        x = np.asarray(
+            chol_solve_lanes(jnp.asarray(A, jnp.float32), jnp.asarray(b, jnp.float32))
+        )
+        rel = np.linalg.norm(x - x_ref, axis=-1) / np.linalg.norm(x_ref, axis=-1)
+        assert rel.max() < 2e-3, rel
