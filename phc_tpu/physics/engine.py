@@ -42,7 +42,7 @@ _PREC = jax.lax.Precision.HIGH
 
 from phc_tpu import transforms as T
 from phc_tpu.physics.model import PhysicsModel
-from phc_tpu.physics.solver import spd_solve
+from phc_tpu.physics.solver import chol_solve_lanes, spd_solve
 
 
 class PhysicsState(NamedTuple):
@@ -647,7 +647,9 @@ def _candidate_tables_v2(model: PhysicsModel):
     return out
 
 
-def _contact_system(model: PhysicsModel, frame: BodyFrame, S: jax.Array) -> ContactSystem:
+def _contact_system(
+    model: PhysicsModel, frame: BodyFrame, S: jax.Array, _stage: str = "full"
+) -> ContactSystem:
     """Candidate narrow phases -> top-k compaction -> merged contact-frame
     Jacobian, all in SoA component form (see ContactSystem docstring).
 
@@ -739,6 +741,8 @@ def _contact_system(model: PhysicsModel, frame: BodyFrame, S: jax.Array) -> Cont
 
     # ---- compaction: ONE one-hot selection matmul ------------------------
     feats = (*x_a, *x_b, *t1, *t2, *n, v_t1, v_t2, v_n)  # 18 x (B, C)
+    if _stage == "narrow":  # perf attribution only (scripts/bench_profile)
+        return pen_all, v_n, v_t1, v_t2
     if A < C:
         pen, idx = jax.lax.top_k(pen_all, A)  # (B, A)
         sel = (idx[..., None] == jnp.arange(C)).astype(S.dtype)  # (B, A, C)
@@ -758,6 +762,8 @@ def _contact_system(model: PhysicsModel, frame: BodyFrame, S: jax.Array) -> Cont
     mA = ssel[..., 1 + J : 1 + J + N]  # (B, A, N) ancestor dof mask, side a
     mB = ssel[..., 1 + J + N :]
     active = (pen > 0.0).astype(pen.dtype)
+    if _stage == "compact":  # perf attribution only
+        return pen, mA, mB, fs[0]
 
     # ---- merged Jacobian: J = S @ W, columns x-major (t1 | t2 | n) --------
     # Row r of the contact frame contributes the Plücker force vector
@@ -860,13 +866,23 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
 
     rhs = tau + Q_contact - C
 
-    # MXU-friendly SPD solve (recursive Schur block inverse + iterative
-    # refinement): ~5x faster than XLA's batched cholesky at (4096, 75, 75)
-    # and matches its accuracy class (see physics/solver.py, tests).
+    # SPD solve. On TPU: the Pallas batch-in-lanes Cholesky (exact fp32,
+    # 8.3x faster than the recursive-Schur spd_solve at (4096, 75, 75) —
+    # 1.2 vs 9.8 ms/solve, experiments/solver_bench.py) because the batch
+    # rides the 128-lane dimension with zero padding waste. On CPU (test
+    # suite / dryrun): spd_solve — interpret-mode Pallas inside the substep
+    # would dominate test wall-time; cross-solver agreement is pinned to
+    # ~3e-5 in tests/test_solver.py and the bench's accuracy cross-check.
     if "solve" in skip:
         qacc = rhs * 1e-3
     else:
-        qacc = spd_solve(lhs, rhs, base=24, refine=2)
+        solver = model.solver
+        if solver == "auto":
+            solver = "lanes" if jax.default_backend() == "tpu" else "schur"
+        if solver == "lanes":
+            qacc = chol_solve_lanes(lhs, rhs)
+        else:
+            qacc = spd_solve(lhs, rhs, base=24, refine=2)
 
     v_new = state.vel + dt * qacc
 

@@ -69,6 +69,9 @@ class PhysicsModel:
     # simultaneously active (typical humanoid: < 40); 5x less Jacobian/LHS
     # work than the dense path. 0 = dense (no compaction).
     max_contacts: int = 64
+    # SPD solver for the substep: "auto" = Pallas lanes Cholesky on TPU,
+    # recursive-Schur block inverse elsewhere; "lanes"/"schur" force one.
+    solver: str = "auto"
 
     @property
     def num_bodies(self) -> int:

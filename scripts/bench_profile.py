@@ -143,10 +143,48 @@ def main():
         cs = eng._contact_system(model, f, S)
         return cs.Jm.sum() + cs.v_t1.sum() + cs.v_n.sum()
 
+    def fk_contact_stage(stage):
+        def fn(p):
+            f = eng.forward_kinematics(model, p)
+            S = eng._motion_subspace(model, f)
+            out = eng._contact_system(model, f, S, _stage=stage)
+            return sum(o.sum() for o in out)
+
+        return fn
+
+    def fk_contact_lhs(p):
+        """contact system + the LHS rank update + Q_contact (everything the
+        substep derives from contacts, minus the post-solve force block)."""
+        f = eng.forward_kinematics(model, p)
+        S = eng._motion_subspace(model, f)
+        cs = eng._contact_system(model, f, S)
+        dt = model.dt
+        k, d = model.contact_stiffness, model.contact_damping
+        f_n_pred = jnp.maximum(k * cs.pen - d * cs.v_n, 0.0) * cs.active
+        v_t_norm = jnp.sqrt(cs.v_t1**2 + cs.v_t2**2 + 1e-12)
+        c_t = model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps)
+        c_n = (d + k * dt) * cs.active
+        coef_m = jnp.concatenate([c_t, c_t, c_n], axis=-1)
+        f_expl_m = jnp.concatenate(
+            [-c_t * cs.v_t1, -c_t * cs.v_t2, k * cs.pen * cs.active - c_n * cs.v_n], -1
+        )
+        Q = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=jax.lax.Precision.HIGH)
+        upd = jnp.einsum(
+            "bnm,bm,bkm->bnk", cs.Jm, coef_m, cs.Jm, precision=jax.lax.Precision.HIGH
+        )
+        return Q.sum() + upd.sum()
+
     def fk_m_solve(p):
         f = eng.forward_kinematics(model, p)
         M = eng.mass_matrix(model, f)
         return spd_solve(M, p.vel, base=24, refine=2).sum()
+
+    def fk_m_lanes(p):
+        from phc_tpu.physics.solver import chol_solve_lanes
+
+        f = eng.forward_kinematics(model, p)
+        M = eng.mass_matrix(model, f)
+        return chol_solve_lanes(M, p.vel).sum()
 
     def substep_full(p):
         s2, info = eng._physics_substep(model, p, tgt)
@@ -156,7 +194,11 @@ def main():
     timeit("64x FK+S", jax.jit(scan64(fk_s)), phys_state)
     timeit("64x FK+dynamics (M+C shared)", jax.jit(scan64(fk_dyn)), phys_state)
     timeit("64x FK+contact system", jax.jit(scan64(fk_contact)), phys_state)
+    timeit("64x FK+contact narrow phase", jax.jit(scan64(fk_contact_stage("narrow"))), phys_state)
+    timeit("64x FK+contact narrow+compact", jax.jit(scan64(fk_contact_stage("compact"))), phys_state)
+    timeit("64x FK+contact+LHS assembly", jax.jit(scan64(fk_contact_lhs)), phys_state)
     timeit("64x FK+M+spd_solve", jax.jit(scan64(fk_m_solve)), phys_state)
+    timeit("64x FK+M+chol_lanes", jax.jit(scan64(fk_m_lanes)), phys_state)
     timeit("64x full substep", jax.jit(scan64(substep_full)), phys_state)
 
     # --- knockout attribution (each removes one piece from the REAL substep;

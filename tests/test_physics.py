@@ -7,6 +7,9 @@ same ball-joint humanoid, and stepping is checked behaviorally (standing
 under PD, falling under gravity, energy sanity).
 """
 
+import os
+from pathlib import Path
+
 import numpy as np
 import pytest
 import jax
@@ -169,3 +172,56 @@ def test_pd_action_offset_scale(model):
     # regular 180deg joints: min(1.2*pi, pi) = pi
     assert abs(scale[0] - np.pi) < 1e-5
     np.testing.assert_allclose(offset, 0.0)
+
+
+_PARITY_SCRIPT = r"""
+import dataclasses
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+from phc_tpu.physics.model import build_smpl_model
+from phc_tpu.physics.engine import default_state, step
+
+model = build_smpl_model()
+m_lanes = dataclasses.replace(model, solver="lanes")
+m_schur = dataclasses.replace(model, solver="schur")
+state = default_state(model, batch=2, height=0.94)
+pd = jnp.zeros((2, 69))
+s1, s2 = state, state
+for _ in range(5):
+    s1, _ = step(m_lanes, s1, pd)
+    s2, _ = step(m_schur, s2, pd)
+np.testing.assert_allclose(np.asarray(s1.root_pos), np.asarray(s2.root_pos), atol=2e-4)
+np.testing.assert_allclose(np.asarray(s1.vel), np.asarray(s2.vel), atol=5e-3)
+print("PARITY_OK")
+"""
+
+
+def test_substep_solver_parity():
+    """The TPU production solver (Pallas lanes Cholesky, interpret mode on
+    CPU) and the Schur-block solver must integrate to matching states — the
+    engine picks per-backend, so this pins cross-backend consistency.
+
+    Runs in a SUBPROCESS: interpret-mode Pallas inside the substep loop
+    corrupts the XLA CPU process state — a later large jit compile in the
+    same process segfaults/aborts (reproduced 2026-08-18 at
+    test_ppo.py::test_reward_improves_on_single_clip, both via the
+    persistent-cache deserialize path and via fresh backend_compile).
+    Subprocess isolation keeps the main pytest process clean.
+    """
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _PARITY_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        env=env,
+        cwd=str(Path(__file__).resolve().parent.parent),
+    )
+    assert proc.returncode == 0, f"parity subprocess failed:\n{proc.stderr[-3000:]}"
+    assert "PARITY_OK" in proc.stdout
