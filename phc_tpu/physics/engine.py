@@ -40,6 +40,16 @@ import jax.numpy as jnp
 # passes of HIGHEST (bf16_6x); CPU tests always run true fp32 regardless.
 _PREC = jax.lax.Precision.HIGH
 
+# The CONTACT path tolerates single-pass bf16 (~4e-3 rel): Jacobian lever
+# arms, friction frames and force reconstruction are all O(1)-magnitude
+# geometry whose 0.4% rounding is far below contact-model uncertainty
+# (penalty stiffness, regularized Coulomb). Penetration depths never ride
+# these matmuls (top_k output stays fp32). The LHS term dt*J c J^T it
+# produces is diagonally dominated by M + dt*Kd, so the solve stays SPD.
+# 3x fewer MXU passes on the two largest substep matmuls (measured
+# TPU-vs-fp32 qacc agreement ~1e-3 rel; bench.py cross-checks every run).
+_CPREC = jax.lax.Precision.DEFAULT
+
 from phc_tpu import transforms as T
 from phc_tpu.physics.model import PhysicsModel
 from phc_tpu.physics.solver import chol_solve_lanes, spd_solve
@@ -210,6 +220,11 @@ def mass_matrix(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
 def _mass_matrix_from(model: PhysicsModel, I_sp: jax.Array, S: jax.Array) -> jax.Array:
     Ic = _composite_inertia(model, I_sp)
 
+    # NOTE on layout: the dof-level gather Ic[:, dof_body] looks wasteful
+    # ((B, N, 6, 6) materialization) but measures FASTEST on v5e — per-joint
+    # block-reshape variants (S.reshape(B, J-1, 3, 6) + block einsums) are
+    # 2x slower because the reshapes force relayout copies
+    # (experiments/mass_bench.py: 3.4 vs 6.7 ms).
     dof_body = _dof_body_ids(model)
     Ic_d = Ic[:, jnp.asarray(dof_body)]  # (B, N, 6, 6)
     F = jnp.einsum("bnij,bnj->bni", Ic_d, S, precision=_PREC)  # (B, N, 6)
@@ -747,10 +762,10 @@ def _contact_system(
         pen, idx = jax.lax.top_k(pen_all, A)  # (B, A)
         sel = (idx[..., None] == jnp.arange(C)).astype(S.dtype)  # (B, A, C)
         Fd = jnp.stack([jnp.broadcast_to(f, (B, C)) for f in feats], axis=-1)
-        fsel = jnp.einsum("bac,bcf->baf", sel, Fd, precision=_PREC)  # exact
+        fsel = jnp.einsum("bac,bcf->baf", sel, Fd, precision=_CPREC)  # exact
         fs = tuple(fsel[..., i] for i in range(len(feats)))
         # static per-candidate rows: [is_ground | oh_signed(J) | anc_a(N) | anc_b(N)]
-        ssel = jnp.einsum("bac,cf->baf", sel, tab["stat"], precision=_PREC)
+        ssel = jnp.einsum("bac,cf->baf", sel, tab["stat"], precision=_CPREC)
     else:
         pen = pen_all
         fs = tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
@@ -765,9 +780,14 @@ def _contact_system(
     if _stage == "compact":  # perf attribution only
         return pen, mA, mB, fs[0]
 
-    # ---- merged Jacobian: J = S @ W, columns x-major (t1 | t2 | n) --------
+    # ---- merged Jacobian, columns x-major (t1 | t2 | n) -------------------
     # Row r of the contact frame contributes the Plücker force vector
-    # [x × r; r]; stacking over i gives W (B, 6, 3A) and ONE batched matmul.
+    # [x × r; r] at point x; J[n, m] = S_n · W_m with ancestor masks and the
+    # a−b relative-velocity subtraction folded in. The contraction dim is 6,
+    # which the MXU pads 21x (K 6 -> 128; measured ~6 ms/substep as an
+    # einsum), so it is written as 6 broadcast FMAs instead — one fused
+    # elementwise kernel producing (B, N, 3A) directly, no (B, N, 6A)
+    # intermediate and no separate mask pass.
     def w_merged(x):
         cols = []
         for r in (t1, t2, n):
@@ -775,16 +795,15 @@ def _contact_system(
         rows = []
         for i in range(6):
             rows.append(jnp.concatenate([cols[0][i], cols[1][i], cols[2][i]], axis=-1))
-        return jnp.stack(rows, axis=1)  # (B, 6, 3A)
+        return rows  # 6 x (B, 3A)
 
-    W_ab = jnp.concatenate([w_merged(x_a), w_merged(x_b)], axis=-1)  # (B, 6, 6A)
-    J_ab = jnp.einsum("bni,bim->bnm", S, W_ab, precision=_PREC)  # (B, N, 6A)
-
+    Wa = w_merged(x_a)
+    Wb = w_merged(x_b)
     mA3 = jnp.concatenate([mA, mA, mA], axis=1).swapaxes(1, 2)  # (B, N, 3A)
     mB3 = jnp.concatenate([mB, mB, mB], axis=1).swapaxes(1, 2)
-    Am = pen.shape[1]
-    half = 3 * Am
-    Jm = J_ab[..., :half] * mA3 - J_ab[..., half:] * mB3
+    Ja = sum(S[:, :, i, None] * Wa[i][:, None, :] for i in range(6))
+    Jb = sum(S[:, :, i, None] * Wb[i][:, None, :] for i in range(6))
+    Jm = Ja * mA3 - Jb * mB3
 
     return ContactSystem(
         Jm=Jm, v_t1=v_t1, v_t2=v_t2, v_n=v_n, pen=pen, active=active,
@@ -859,8 +878,8 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
         f_expl_m = jnp.concatenate(
             [-c_t * cs.v_t1, -c_t * cs.v_t2, k * pen * active - c_n * cs.v_n], axis=-1
         )
-        Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_PREC)
-        lhs = lhs + dt * jnp.einsum("bnm,bm,bkm->bnk", cs.Jm, coef_m, cs.Jm, precision=_PREC)
+        Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_CPREC)
+        lhs = lhs + dt * jnp.einsum("bnm,bm,bkm->bnk", cs.Jm, coef_m, cs.Jm, precision=_CPREC)
     else:
         Q_contact = jnp.zeros((B, N))
 
@@ -892,7 +911,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
         v_m = None
     else:
         v_m = jnp.concatenate([cs.v_t1, cs.v_t2, cs.v_n], axis=-1)
-        v_m_new = v_m + dt * jnp.einsum("bnm,bn->bm", cs.Jm, qacc, precision=_PREC)
+        v_m_new = v_m + dt * jnp.einsum("bnm,bn->bm", cs.Jm, qacc, precision=_CPREC)
         vt1n, vt2n, vnn = v_m_new[:, :Am], v_m_new[:, Am : 2 * Am], v_m_new[:, 2 * Am :]
         f_t1 = -c_t * vt1n
         f_t2 = -c_t * vt2n

@@ -68,7 +68,10 @@ class PhysicsModel:
     # get Jacobian rows each substep. Exact whenever <= max_contacts are
     # simultaneously active (typical humanoid: < 40); 5x less Jacobian/LHS
     # work than the dense path. 0 = dense (no compaction).
-    max_contacts: int = 64
+    # 42 makes the merged contact-frame Jacobian exactly one MXU K-tile wide
+    # (3A = 126 -> 128): the two dominant substep matmuls (J build, J c J^T)
+    # halve vs 64 (3A = 192 -> 256) at no observed contact-overflow cost.
+    max_contacts: int = 42
     # SPD solver for the substep: "auto" = Pallas lanes Cholesky on TPU,
     # recursive-Schur block inverse elsewhere; "lanes"/"schur" force one.
     solver: str = "auto"
