@@ -63,6 +63,10 @@ class PhysicsConfig:
 
     sim_timestep: float = 1.0 / 60.0
     control_freq_inv: int = 2  # physics substeps per control step
+    # "frozen": build+factor the system once per control step, run substeps
+    # as TGS-style velocity iterations (engine._step_frozen); "full": rebuild
+    # everything per substep.
+    substep_mode: str = "frozen"
     contact_stiffness: float = 2.0e4
     contact_damping: float = 6.0e2
     friction: float = 1.0

@@ -140,6 +140,7 @@ def make_env(cfg: EnvConfig, motion_ids=None, eval_mode: bool = False) -> Humano
         kd_scale=cfg.kd_scale,
         dt=cfg.physics.sim_timestep,
         substeps=cfg.physics.control_freq_inv,
+        substep_mode=cfg.physics.substep_mode,
         contact_stiffness=cfg.physics.contact_stiffness,
         contact_damping=cfg.physics.contact_damping,
         friction=cfg.physics.friction,

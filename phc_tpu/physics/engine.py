@@ -52,7 +52,13 @@ _CPREC = jax.lax.Precision.DEFAULT
 
 from phc_tpu import transforms as T
 from phc_tpu.physics.model import PhysicsModel
-from phc_tpu.physics.solver import chol_solve_lanes, spd_solve
+from phc_tpu.physics.solver import (
+    chol_factor_lanes,
+    chol_resolve_lanes,
+    chol_solve_lanes,
+    spd_inverse,
+    spd_solve,
+)
 
 
 class PhysicsState(NamedTuple):
@@ -501,11 +507,18 @@ def pd_actuation(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
 
 
 def step(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
-    """One control step = `model.substeps` physics substeps (lax.scan).
+    """One control step = `model.substeps` physics substeps.
+
+    substep_mode "full": every substep recomputes FK/dynamics/contacts
+    (lax.scan over _physics_substep). substep_mode "frozen": the system is
+    built and factored once per control step, the substeps are velocity
+    iterations against the frozen factorization (see _step_frozen).
 
     Returns (new_state, info dict with contact forces and dof torques of the
     last substep).
     """
+    if model.substep_mode == "frozen":
+        return _step_frozen(model, state, pd_target)
 
     def substep(s, _):
         s2, info = _physics_substep(model, s, pd_target)
@@ -723,9 +736,15 @@ def _contact_system(
     is_g = tab["is_ground"][None]
     is_pair = 1.0 - is_g
 
+    # SIGNED depth (positive = penetrating): forces are gated by the active
+    # mask (pen > 0) everywhere, so keeping the sign is free — and it makes
+    # the top-k selection rank near-surface candidates by true proximity
+    # instead of tying at 0, which the frozen-substep mode relies on for
+    # mid-control-step contact activation (pen_i integrates with dt*v_n and
+    # may cross 0 between system rebuilds).
     pen_ground = rad_a - a0[2]
     pen_pair = rad_a + rad_b - dist
-    pen_all = jnp.maximum(jnp.where(is_g > 0.5, pen_ground, pen_pair), 0.0)
+    pen_all = jnp.where(is_g > 0.5, pen_ground, pen_pair)
 
     inv_d = 1.0 / jnp.maximum(dist, 1e-6)
     valid = (dist > 1e-6) & jnp.broadcast_to(is_g < 0.5, dist.shape)
@@ -945,6 +964,126 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     dof_torque = tau_act - jnp.asarray(model.kd) * dt * qacc[:, 6:]
     info = {"contact_forces": cbf, "dof_torque": dof_torque}
     return new_state, info
+
+
+def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
+    """One control step as `substeps` velocity iterations against a system
+    built and FACTORED once (TGS-style sub-iterations).
+
+    FK, the motion subspace, CRBA mass matrix, RNEA bias, the contact set,
+    its Jacobian and the implicit LHS are evaluated at the step's initial
+    state; each substep only rebuilds the right-hand side (stable-PD torque
+    from the integrated pose, explicit contact forces from first-order
+    contact-state updates pen += -dt*v_n, v_m += dt*J^T qacc) and reuses
+    the Cholesky factor. This mirrors how PhysX runs its solver
+    sub-iterations against per-step frozen Jacobians (the reference steps
+    PhysX at `substeps: 2`, `isaacgym_env.py:15-27`) and costs one
+    dynamics/contact build instead of `substeps`.
+
+    Trade-off vs substep_mode="full": M, C, S and contact geometry lag by
+    up to (substeps-1)*dt inside a control step. Signed-depth compaction
+    keeps approaching contacts in the frozen set so they can activate
+    mid-step through the pen integration.
+    """
+    dt = model.dt
+    B = state.batch
+    J = model.num_bodies
+    N = model.num_dofs
+
+    frame = forward_kinematics(model, state)
+    S = _motion_subspace(model, frame)
+    I_sp = _spatial_inertia_world(model, frame)
+    M = _mass_matrix_from(model, I_sp, S)
+    C = _bias_from(model, frame, state, I_sp, S)
+
+    cs = _contact_system(model, frame, S)
+    pen0, active0 = cs.pen, cs.active
+    Am = pen0.shape[1]
+    k, d = model.contact_stiffness, model.contact_damping
+
+    # implicit coefficients frozen at the initial state (as in the full path)
+    f_n_pred = jnp.maximum(k * pen0 - d * cs.v_n, 0.0) * active0
+    v_t_norm = jnp.sqrt(cs.v_t1 * cs.v_t1 + cs.v_t2 * cs.v_t2 + 1e-12)
+    c_t = model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps)
+    c_n = (d + k * dt) * active0
+    coef_m = jnp.concatenate([c_t, c_t, c_n], axis=-1)  # (B, 3A)
+
+    kd_full = np.concatenate([np.zeros(6, np.float32), model.kd])
+    lhs = M + jnp.asarray(np.diag(dt * kd_full)[None])
+    lhs = lhs + dt * jnp.einsum("bnm,bm,bkm->bnk", cs.Jm, coef_m, cs.Jm, precision=_CPREC)
+
+    solver = model.solver
+    if solver == "auto":
+        solver = "lanes" if jax.default_backend() == "tpu" else "schur"
+    if solver == "lanes":
+        Lt = chol_factor_lanes(lhs)
+        resolve = lambda rhs: chol_resolve_lanes(Lt, rhs)
+    else:
+        Ainv = spd_inverse(lhs, base=24)
+
+        def resolve(rhs):
+            x = jnp.einsum("...ij,...j->...i", Ainv, rhs, precision=_PREC)
+            for _ in range(2):
+                r = rhs - jnp.einsum("...ij,...j->...i", lhs, x, precision=_PREC)
+                x = x + jnp.einsum("...ij,...j->...i", Ainv, r, precision=_PREC)
+            return x
+
+    kp = jnp.asarray(model.kp)
+    kd = jnp.asarray(model.kd)
+
+    root_pos = state.root_pos
+    joint_quat = state.joint_quat
+    vel = state.vel
+    pen_i = pen0
+    v_m = jnp.concatenate([cs.v_t1, cs.v_t2, cs.v_n], axis=-1)  # (B, 3A)
+
+    qacc = None
+    tau_act = None
+    for _ in range(model.substeps):
+        # stable-PD torque from the CURRENT integrated pose (exact exp map)
+        q = T.quat_to_exp_map(joint_quat[:, 1:]).reshape(B, 3 * (J - 1))
+        qd = vel[:, 6:]
+        tau_act = kp * (pd_target - q - dt * qd) - kd * qd
+        tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
+
+        v_t1_i = v_m[:, :Am]
+        v_t2_i = v_m[:, Am : 2 * Am]
+        v_n_i = v_m[:, 2 * Am :]
+        active_i = (pen_i > 0.0).astype(pen_i.dtype)
+        f_expl_m = jnp.concatenate(
+            [-c_t * v_t1_i, -c_t * v_t2_i, k * pen_i * active_i - c_n * v_n_i], axis=-1
+        )
+        Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_CPREC)
+
+        rhs = tau + Q_contact - C
+        qacc = resolve(rhs)
+
+        vel = vel + dt * qacc
+        # first-order contact-state update against the frozen Jacobian
+        v_m = v_m + dt * jnp.einsum("bnm,bn->bm", cs.Jm, qacc, precision=_CPREC)
+        pen_i = pen_i - dt * v_m[:, 2 * Am :]
+
+        # integrate pose
+        root_pos = root_pos + dt * vel[:, 0:3]
+        dq_root = T.exp_map_to_quat(dt * vel[:, 3:6])
+        root_quat = T.quat_mul_norm(joint_quat[:, 0], dq_root)
+        joint_omega = vel[:, 6:].reshape(B, J - 1, 3)
+        ball_quat = T.quat_mul_norm(joint_quat[:, 1:], T.exp_map_to_quat(dt * joint_omega))
+        joint_quat = jnp.concatenate([root_quat[:, None], ball_quat], axis=1)
+
+    # diagnostics from the last substep (same reconstruction as the full path)
+    vt1n, vt2n, vnn = v_m[:, :Am], v_m[:, Am : 2 * Am], v_m[:, 2 * Am :]
+    f_t1 = -c_t * vt1n
+    f_t2 = -c_t * vt2n
+    f_n = jnp.maximum(k * pen_i * (pen_i > 0.0) - c_n * vnn, 0.0)
+    f_world_w = [f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)]
+    cbf = jnp.stack(
+        [jnp.einsum("baj,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
+    )
+    dof_torque = tau_act - kd * dt * qacc[:, 6:]
+
+    new_state = PhysicsState(root_pos=root_pos, joint_quat=joint_quat, vel=vel)
+    return new_state, {"contact_forces": cbf, "dof_torque": dof_torque}
 
 
 # ---------------------------------------------------------------------------

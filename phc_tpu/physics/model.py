@@ -75,6 +75,11 @@ class PhysicsModel:
     # SPD solver for the substep: "auto" = Pallas lanes Cholesky on TPU,
     # recursive-Schur block inverse elsewhere; "lanes"/"schur" force one.
     solver: str = "auto"
+    # "full": every substep recomputes FK/dynamics/contacts.
+    # "frozen": build + factor the system once per control step, run the
+    # substeps as TGS-style velocity iterations against the frozen factor
+    # (engine._step_frozen) — ~half the physics cost per control step.
+    substep_mode: str = "full"
 
     @property
     def num_bodies(self) -> int:
@@ -250,6 +255,7 @@ def build_smpl_model(
     contact_damping: float = 6.0e2,
     friction: float = 1.0,
     self_collision: bool = True,
+    substep_mode: str = "full",
 ) -> PhysicsModel:
     """Build the SMPL humanoid physics model from the asset tables.
 
@@ -316,6 +322,7 @@ def build_smpl_model(
         pair_rad=pair_rad,
         dt=dt,
         substeps=substeps,
+        substep_mode=substep_mode,
         contact_stiffness=contact_stiffness,
         contact_damping=contact_damping,
         friction=friction,

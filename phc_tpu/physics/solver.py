@@ -120,6 +120,120 @@ def spd_solve(A, b, base: int = 16, refine: int = 1):
 from functools import partial
 
 
+def _chol_factor_lanes_kernel(a_ref, L_ref):
+    """Factor-only variant of _chol_solve_lanes_kernel: writes L to HBM so
+    several right-hand sides can be solved against one factorization
+    (frozen-substep physics solves the same LHS `substeps` times)."""
+    NP = a_ref.shape[0]
+    lanes = a_ref.shape[2]
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (NP, lanes), 0)
+    L_ref[:] = a_ref[:]
+    for j in range(NP):
+        colj = L_ref[j]
+        dinv = jax.lax.rsqrt(jnp.maximum(colj[j : j + 1, :], 1e-12))
+        Lj = jnp.where(row_ids >= j, colj * dinv, 0.0)
+        L_ref[j] = Lj
+        if j + 1 < NP:
+            scale = Lj[j + 1 :, :]
+            L_ref[j + 1 :] = L_ref[j + 1 :] - Lj[None, :, :] * scale[:, None, :]
+
+
+def _chol_resolve_lanes_kernel(L_ref, b_ref, x_ref, y_ref, y2_ref):
+    """Substitution-only variant: L y = b then L^T x = y."""
+    NP = L_ref.shape[0]
+    y_ref[:] = b_ref[:]
+    for j in range(NP):
+        Lj = L_ref[j]
+        yj = y_ref[j : j + 1, :] / Lj[j : j + 1, :]
+        y2_ref[j : j + 1, :] = yj
+        y_ref[:] = y_ref[:] - Lj * yj
+    x_ref[:] = jnp.zeros_like(x_ref)
+    for j in range(NP - 1, -1, -1):
+        Lj = L_ref[j]
+        s = jnp.sum(Lj * x_ref[:], axis=0, keepdims=True)
+        x_ref[j : j + 1, :] = (y2_ref[j : j + 1, :] - s) / Lj[j : j + 1, :]
+
+
+def _pad_lanes(A, b, n, NP, B, Bp):
+    At = A.transpose(2, 1, 0)  # (col, row, env)
+    bt = b.T if b is not None else None
+    if NP != n:
+        At = jnp.pad(At, ((0, NP - n), (0, NP - n), (0, 0)))
+        ii = np.arange(n, NP)
+        At = At.at[ii, ii, :].set(1.0)
+        if bt is not None:
+            bt = jnp.pad(bt, ((0, NP - n), (0, 0)))
+    if Bp != B:
+        At = jnp.pad(At, ((0, 0), (0, 0), (0, Bp - B)))
+        ii = np.arange(NP)
+        At = At.at[ii, ii, B:].set(1.0)
+        if bt is not None:
+            bt = jnp.pad(bt, ((0, 0), (0, Bp - B)))
+    return At, bt
+
+
+def _auto_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chol_factor_lanes(A, interpret: bool | None = None):
+    """Cholesky-factor batched SPD A (B, n, n) in the env-minor lanes
+    layout. Returns the opaque padded factor Lt (NP, NP, Bp) for
+    chol_resolve_lanes — factor once, substitute per right-hand side."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = _auto_interpret(interpret)
+    B, n = A.shape[0], A.shape[-1]
+    NP = -(-n // 8) * 8
+    LANES = 128
+    Bp = -(-B // LANES) * LANES
+    At, _ = _pad_lanes(A, None, n, NP, B, Bp)
+    return pl.pallas_call(
+        _chol_factor_lanes_kernel,
+        out_shape=jax.ShapeDtypeStruct((NP, NP, Bp), At.dtype),
+        grid=(Bp // LANES,),
+        in_specs=[pl.BlockSpec((NP, NP, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((NP, NP, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(At)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def chol_resolve_lanes(Lt, b, interpret: bool | None = None):
+    """Solve L L^T x = b given Lt from chol_factor_lanes. b (B, n) -> x (B, n)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = _auto_interpret(interpret)
+    B, n = b.shape
+    NP, _, Bp = Lt.shape
+    bt = b.T
+    if NP != n:
+        bt = jnp.pad(bt, ((0, NP - n), (0, 0)))
+    if Bp != B:
+        bt = jnp.pad(bt, ((0, 0), (0, Bp - B)))
+    xt = pl.pallas_call(
+        _chol_resolve_lanes_kernel,
+        out_shape=jax.ShapeDtypeStruct((NP, Bp), bt.dtype),
+        grid=(Bp // 128,),
+        in_specs=[
+            pl.BlockSpec((NP, NP, 128), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NP, 128), lambda i: (0, i), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NP, 128), bt.dtype),
+            pltpu.VMEM((NP, 128), bt.dtype),
+        ],
+        interpret=interpret,
+    )(Lt, bt)
+    return xt[:n, :B].T
+
+
 def _chol_solve_lanes_kernel(a_ref, b_ref, x_ref, L_ref, y_ref, y2_ref):
     """One batch tile: a_ref (NP, NP, 128) column-major per lane
     (a_ref[c, r, l] = A_l[r, c]), b_ref (NP, 128). Right-looking

@@ -144,6 +144,54 @@ def test_standing_under_pd(model):
     assert np.abs(np.asarray(state.vel)).max() < 8.0
 
 
+def test_frozen_substeps_track_full(model):
+    """substep_mode="frozen" (system built+factored once per control step,
+    TGS-style velocity iterations) must stay close to the full per-substep
+    rebuild over a dynamic trajectory: same contact set policy, same
+    stable-PD, only M/C/S/contact geometry lag by dt inside a step."""
+    import dataclasses
+
+    m_frozen = dataclasses.replace(model, substep_mode="frozen")
+    rng = np.random.default_rng(7)
+    B = 2
+    state = default_state(model, batch=B, height=0.94)
+    state = state._replace(
+        vel=jnp.asarray((0.3 * rng.normal(size=(B, model.num_dofs))).astype(np.float32))
+    )
+    pd = jnp.asarray((0.2 * rng.normal(size=(B, 69))).astype(np.float32))
+    step_full = jax.jit(lambda s: step(model, s, pd)[0])
+    step_froz = jax.jit(lambda s: step(m_frozen, s, pd)[0])
+    s1, s2 = state, state
+    for _ in range(15):  # 0.5 s with ground contact
+        s1 = step_full(s1)
+        s2 = step_froz(s2)
+    # different integrators — behavioral closeness, not bitwise
+    assert np.all(np.isfinite(np.asarray(s2.vel)))
+    np.testing.assert_allclose(
+        np.asarray(s1.root_pos), np.asarray(s2.root_pos), atol=0.05
+    )
+    f1 = forward_kinematics(model, s1)
+    f2 = forward_kinematics(model, s2)
+    body_err = np.abs(np.asarray(f1.pos) - np.asarray(f2.pos)).max()
+    assert body_err < 0.10, f"frozen-mode body divergence {body_err}"
+
+
+def test_frozen_substeps_standing(model):
+    """Standing stability (the contact-chatter-sensitive case) in frozen mode."""
+    import dataclasses
+
+    m_frozen = dataclasses.replace(model, substep_mode="frozen")
+    state = default_state(model, batch=2, height=0.94)
+    pd_target = jnp.zeros((2, 69))
+    step_j = jax.jit(lambda s: step(m_frozen, s, pd_target)[0])
+    for _ in range(60):
+        state = step_j(state)
+    z = np.asarray(state.root_pos[:, 2])
+    assert np.all(z > 0.6), f"fell: root heights {z}"
+    assert np.all(z < 1.2), f"launched: root heights {z}"
+    assert np.abs(np.asarray(state.vel)).max() < 8.0
+
+
 def test_state_from_parts_roundtrip(model):
     rng = np.random.default_rng(3)
     B = 4

@@ -87,3 +87,28 @@ def test_chol_solve_lanes_matches_oracle():
         )
         rel = np.linalg.norm(x - x_ref, axis=-1) / np.linalg.norm(x_ref, axis=-1)
         assert rel.max() < 2e-3, rel
+
+
+def test_chol_factor_resolve_matches_fused():
+    """Factor-once / substitute-per-rhs split (frozen-substep path) must
+    agree with the fused chol_solve_lanes and the numpy oracle, including
+    a second rhs against the same factor."""
+    from phc_tpu.physics.solver import (
+        chol_factor_lanes,
+        chol_resolve_lanes,
+        chol_solve_lanes,
+    )
+
+    for B, n, seed in ((5, 12, 2), (3, 75, 3)):
+        A, b = _spd_batch(B=B, n=n, span=(-1, 2), seed=seed)
+        b2 = b[::-1].copy()
+        Aj = jnp.asarray(A, jnp.float32)
+        Lt = chol_factor_lanes(Aj)
+        for rhs in (b, b2):
+            rj = jnp.asarray(rhs, jnp.float32)
+            x_split = np.asarray(chol_resolve_lanes(Lt, rj))
+            x_fused = np.asarray(chol_solve_lanes(Aj, rj))
+            x_ref = np.linalg.solve(A, rhs[..., None])[..., 0]
+            np.testing.assert_allclose(x_split, x_fused, atol=1e-5)
+            rel = np.linalg.norm(x_split - x_ref, axis=-1) / np.linalg.norm(x_ref, axis=-1)
+            assert rel.max() < 2e-3, rel
