@@ -51,12 +51,21 @@ def timeit(name, fn, *args):
 
 
 def rep(body):
-    """Run `body` REP times on perturbed states (prevents CSE)."""
+    """Run `body` REP times on perturbed states (prevents CSE/hoisting).
+
+    Perturbs joint_quat as well as root_pos — perturbing position alone
+    lets XLA hoist every rotation-dependent subexpression out of the
+    repetition (first version of this bench under-reported by ~2x).
+    """
 
     def f(st):
         acc = 0.0
         for i in range(REP):
-            s2 = st._replace(root_pos=st.root_pos + i * 1e-6)
+            s2 = st._replace(
+                root_pos=st.root_pos + i * 1e-6,
+                joint_quat=st.joint_quat + i * 1e-7,
+                vel=st.vel + i * 1e-7,
+            )
             acc = acc + body(s2)
         return acc
 
@@ -138,6 +147,31 @@ def fk_only(st):
     return S.sum()
 
 
+def isp_only(st):
+    frame, S = fk_S(st)
+    return eng._spatial_inertia_world(model, frame).sum() + S.sum()
+
+
+def isp_comp(st):
+    frame, S = fk_S(st)
+    I_sp = eng._spatial_inertia_world(model, frame)
+    return eng._composite_inertia(model, I_sp).sum() + S.sum()
+
+
+def bias_only_from(st):
+    frame, S = fk_S(st)
+    I_sp = eng._spatial_inertia_world(model, frame)
+    return I_sp.sum() * 0.0 + eng._bias_from(model, frame, st, I_sp, S).sum()
+
+
+def mc_shared(st):
+    frame, S = fk_S(st)
+    I_sp = eng._spatial_inertia_world(model, frame)
+    M = eng._mass_matrix_from(model, I_sp, S)
+    C = eng._bias_from(model, frame, st, I_sp, S)
+    return M.sum() + C.sum()
+
+
 print("devices:", jax.devices(), flush=True)
 timeit("fk+S only", rep(fk_only), state)
 timeit("M: gather + einsum (original)", rep(m_gather), state)
@@ -146,3 +180,27 @@ timeit("M: block-reshape + FMA (current)", rep(m_block_fma), state)
 timeit("M: gather + FMA", rep(m_gather_fma), state)
 timeit("M: engine current", rep(m_current), state)
 timeit("bias: engine current", rep(bias_current), state)
+timeit("I_sp build only", rep(isp_only), state)
+timeit("I_sp + composite", rep(isp_comp), state)
+timeit("bias only (I_sp shared, not counted)", rep(bias_only_from), state)
+timeit("M+C shared (frozen-step build)", rep(mc_shared), state)
+
+
+def mc_comps(st):
+    frame, _ = fk_S(st)
+    Sc = eng._motion_subspace_comps(model, frame)
+    params = eng._dyn_params(model, frame)
+    M = eng._mass_matrix_comps(model, params, Sc)
+    C = eng._bias_comps(model, frame, st, params, Sc)
+    return M.sum() + C.sum()
+
+
+def m_comps(st):
+    frame, _ = fk_S(st)
+    Sc = eng._motion_subspace_comps(model, frame)
+    params = eng._dyn_params(model, frame)
+    return eng._mass_matrix_comps(model, params, Sc).sum()
+
+
+timeit("M: component form", rep(m_comps), state)
+timeit("M+C component form (new frozen build)", rep(mc_comps), state)

@@ -216,11 +216,230 @@ def _composite_inertia(model: PhysicsModel, I_sp: jax.Array) -> jax.Array:
     return jnp.einsum("ji,bixy->bjxy", desc, I_sp, precision=_PREC)
 
 
+# ---------------------------------------------------------------------------
+# Component-form (SoA) dynamics — the production CRBA/RNEA path.
+#
+# The 6x6 spatial-inertia formulation above materializes (B, J, 6, 6) and
+# (B, J, 6) arrays whose tiny minor dims lane-pad 21-42x in HBM; building
+# I_sp alone measures 3.1 ms at B=4096 on v5e (experiments/mass_bench.py).
+# The closed forms below operate on (B, J) / (B, N) component arrays (lane
+# dim = J/N, modest padding), use the algebraic identity
+#   I_sp [w; v] = [I_com w + m c x (w x c) + m c x v ;  m (w x c) + m v]
+# so no 6x6 is ever formed, and reduce subtree sums to one small batched
+# matmul. Validated against MuJoCo exactly like the reference path (tests
+# pin mass_matrix/bias_forces to qM/qfrc_bias).
+# ---------------------------------------------------------------------------
+
+
+def _cross_c(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _dyn_params(model: PhysicsModel, frame: BodyFrame):
+    """Per-body dynamic parameters as (B, J) component arrays:
+    world COM c, I_com (world, 6 sym comps), h = m c, and the composite
+    (subtree) sums h_sub / G_sub with G = I_com + m(|c|^2 I - c c^T)."""
+    R = _rotmat_comps(frame.rot)  # 9 x (B, J), R[3r+c]
+    m = model.mass.astype(np.float32)[None]  # (1, J) const
+    comb = model.com.astype(np.float32)  # (J, 3) body-frame const
+    pos = tuple(frame.pos[..., i] for i in range(3))
+
+    # world COM: c = pos + R @ com_body
+    c = tuple(
+        pos[r] + R[3 * r + 0] * comb[None, :, 0] + R[3 * r + 1] * comb[None, :, 1] + R[3 * r + 2] * comb[None, :, 2]
+        for r in range(3)
+    )
+
+    # I_com(world) = R I_b R^T, I_b const (J, 3, 3): 6 unique comps
+    Ib = model.inertia.astype(np.float32)  # (J, 3, 3)
+
+    def iw(r, s):
+        acc = 0.0
+        for p in range(3):
+            for q in range(3):
+                acc = acc + R[3 * r + p] * Ib[None, :, p, q] * R[3 * s + q]
+        return acc
+
+    Iw = {"xx": iw(0, 0), "xy": iw(0, 1), "xz": iw(0, 2), "yy": iw(1, 1), "yz": iw(1, 2), "zz": iw(2, 2)}
+
+    h = tuple(m * c[i] for i in range(3))
+    c2 = c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
+    G = (
+        Iw["xx"] + m * (c2 - c[0] * c[0]),
+        Iw["xy"] - m * c[0] * c[1],
+        Iw["xz"] - m * c[0] * c[2],
+        Iw["yy"] + m * (c2 - c[1] * c[1]),
+        Iw["yz"] - m * c[1] * c[2],
+        Iw["zz"] + m * (c2 - c[2] * c[2]),
+    )
+
+    # subtree sums: one batched matmul over 9 stacked components
+    desc = model.ancestor_mask.T.astype(np.float32)  # desc[j, i] = i in subtree(j)
+    X = jnp.stack([*h, *G], axis=1)  # (B, 9, J)
+    Xs = jnp.einsum("ji,bci->bcj", jnp.asarray(desc), X, precision=_PREC)
+    h_sub = tuple(Xs[:, i] for i in range(3))
+    G_sub = tuple(Xs[:, 3 + i] for i in range(6))
+    m_sub = (desc @ model.mass).astype(np.float32)  # (J,) const
+
+    return dict(R=R, c=c, Iw=Iw, h=h, m=m, h_sub=h_sub, G_sub=G_sub, m_sub=m_sub)
+
+
+def _motion_subspace_comps(model: PhysicsModel, frame: BodyFrame):
+    """Motion subspace as 6 component arrays (B, N): (a_x, a_y, a_z,
+    l_x, l_y, l_z) with a the world rotation axis and l = anchor x a
+    (root translations: a = 0, l = e_k). Same values as _motion_subspace,
+    no (B, N, 6) lane-padded materialization."""
+    B, J = frame.rot.shape[:2]
+    R = _rotmat_comps(frame.rot)
+    pos = tuple(frame.pos[..., i] for i in range(3))
+
+    # ball dofs: axis of dof (j, d) = column d of R_j
+    def ball_axis(w):  # world component w of the 3 axes, (B, J-1, 3) -> (B, 69)
+        cols = jnp.stack([R[3 * w + d][:, 1:] for d in range(3)], axis=-1)
+        return cols.reshape(B, 3 * (J - 1))
+
+    a_ball = tuple(ball_axis(w) for w in range(3))
+    dof_body_ball = np.repeat(np.arange(1, J), 3)
+    x_ball = tuple(pos[w][:, dof_body_ball] for w in range(3))
+    l_ball = _cross_c(x_ball, a_ball)
+
+    # root: 3 translational ([0; e_k]) + 3 rotational (axes = root body
+    # axes = columns of R_0, anchor = root position)
+    zeros3 = jnp.zeros((B, 3))
+    eye = np.eye(3, dtype=np.float32)
+    a_root_rot = tuple(jnp.stack([R[3 * w + d][:, 0] for d in range(3)], axis=-1) for w in range(3))
+    x_root = tuple(jnp.broadcast_to(pos[w][:, 0:1], (B, 3)) for w in range(3))
+    l_root_rot = _cross_c(x_root, a_root_rot)
+
+    a_c = tuple(jnp.concatenate([zeros3, a_root_rot[w], a_ball[w]], axis=1) for w in range(3))
+    l_c = tuple(
+        jnp.concatenate([jnp.broadcast_to(eye[None, :, w], (B, 3)), l_root_rot[w], l_ball[w]], axis=1)
+        for w in range(3)
+    )
+    return (*a_c, *l_c)  # 6 x (B, N)
+
+
+def _mass_matrix_comps(model: PhysicsModel, params, Sc) -> jax.Array:
+    """CRBA mass matrix from component arrays: F_n = Ic[body(n)] S_n via
+    the closed form (no 6x6), M = sum_i F_i outer S_i (6 fused FMAs)."""
+    a = Sc[0:3]
+    l = Sc[3:6]
+    dof_body = _dof_body_ids(model)
+
+    h = tuple(params["h_sub"][i][:, dof_body] for i in range(3))
+    Gxx, Gxy, Gxz, Gyy, Gyz, Gzz = (params["G_sub"][i][:, dof_body] for i in range(6))
+    m = params["m_sub"][dof_body][None]  # (1, N) const
+
+    hxl = _cross_c(h, l)
+    F_top = (
+        Gxx * a[0] + Gxy * a[1] + Gxz * a[2] + hxl[0],
+        Gxy * a[0] + Gyy * a[1] + Gyz * a[2] + hxl[1],
+        Gxz * a[0] + Gyz * a[1] + Gzz * a[2] + hxl[2],
+    )
+    axh = _cross_c(a, h)
+    F_bot = tuple(axh[i] + m * l[i] for i in range(3))
+
+    F6 = (*F_top, *F_bot)
+    M_full = sum(F6[i][:, :, None] * Sc[i][:, None, :] for i in range(6))
+
+    anc = model.ancestor_mask[np.ix_(dof_body, dof_body)]  # (N, N)
+    N = M_full.shape[-1]
+    eye = np.eye(N, dtype=bool)
+    lower = jnp.asarray(anc & ~eye)
+    M = jnp.where(lower, M_full, 0.0)
+    M = jnp.where(lower.T, jnp.swapaxes(M, -1, -2), M)
+    M = jnp.where(jnp.asarray(eye), M_full, M)
+    arm = np.concatenate([np.zeros(6, np.float32), model.armature])
+    return M + jnp.asarray(np.diag(arm)[None])
+
+
+def _bias_comps(model: PhysicsModel, frame: BodyFrame, state: PhysicsState, params, Sc) -> jax.Array:
+    """RNEA bias (Coriolis/centrifugal + gravity) on component arrays."""
+    B, J = frame.rot.shape[:2]
+    pos = tuple(frame.pos[..., i] for i in range(3))
+    w = tuple(frame.ang_vel[..., i] for i in range(3))
+    lin = tuple(frame.lin_vel[..., i] for i in range(3))
+    wxp = _cross_c(w, pos)
+    v_o = tuple(lin[i] - wxp[i] for i in range(3))
+
+    # bias acceleration propagation (world Plücker, about the origin)
+    g = model.gravity
+    root_sdot = -jnp.cross(frame.ang_vel[:, 0], state.vel[:, 0:3])  # (B, 3)
+    aw = [jnp.zeros((B, J)) for _ in range(3)]
+    av = [jnp.zeros((B, J)) for _ in range(3)]
+    grav = np.array([0.0, 0.0, g], np.float32)
+    for i in range(3):
+        av[i] = av[i].at[:, 0].set(-grav[i] + root_sdot[:, i])
+
+    joint_omega = state.vel[:, 6:].reshape(B, J - 1, 3)
+    for level in model.levels[1:]:
+        ids = jnp.asarray(level)
+        par = np.asarray(model.parents[level])
+        w_rel = T.quat_rotate(frame.rot[:, ids], joint_omega[:, ids - 1])  # (B, L, 3)
+        sv_ang = tuple(w_rel[..., i] for i in range(3))
+        x_l = tuple(pos[i][:, ids] for i in range(3))
+        sv_lin = _cross_c(x_l, sv_ang)
+        w1 = tuple(w[i][:, ids] for i in range(3))
+        v1 = tuple(v_o[i][:, ids] for i in range(3))
+        xm_ang = _cross_c(w1, sv_ang)
+        t1 = _cross_c(w1, sv_lin)
+        t2 = _cross_c(v1, sv_ang)
+        for i in range(3):
+            aw[i] = aw[i].at[:, ids].set(aw[i][:, par] + xm_ang[i])
+            av[i] = av[i].at[:, ids].set(av[i][:, par] + t1[i] + t2[i])
+    aw = tuple(aw)
+    av = tuple(av)
+
+    # closed-form spatial-inertia products (about the world origin):
+    #   I [w; v] = [Iw w + m c x (w x c) + m c x v ; m (w x c) + m v]
+    c = params["c"]
+    Iw = params["Iw"]
+    m = params["m"]
+
+    def I_apply(wc, vc):
+        iww = (
+            Iw["xx"] * wc[0] + Iw["xy"] * wc[1] + Iw["xz"] * wc[2],
+            Iw["xy"] * wc[0] + Iw["yy"] * wc[1] + Iw["yz"] * wc[2],
+            Iw["xz"] * wc[0] + Iw["yz"] * wc[1] + Iw["zz"] * wc[2],
+        )
+        wxc = _cross_c(wc, c)
+        inner = tuple(wxc[i] + vc[i] for i in range(3))  # (w x c) + v
+        cxi = _cross_c(c, inner)
+        n = tuple(iww[i] + m * cxi[i] for i in range(3))
+        f = tuple(m * inner[i] for i in range(3))
+        return n, f
+
+    n_v, f_v = I_apply(w, v_o)  # I v
+    n_a, f_a = I_apply(aw, av)  # I a
+
+    # v x* (I v) = [w x n + v x f ; w x f]
+    wxn = _cross_c(w, n_v)
+    vxf_ = _cross_c(v_o, f_v)
+    wxf = _cross_c(w, f_v)
+    fb_top = tuple(n_a[i] + wxn[i] + vxf_[i] for i in range(3))
+    fb_bot = tuple(f_a[i] + wxf[i] for i in range(3))
+
+    # subtree wrench sums (one batched matmul over 6 stacked comps)
+    desc = jnp.asarray(model.ancestor_mask.T.astype(np.float32))
+    Xf = jnp.stack([*fb_top, *fb_bot], axis=1)  # (B, 6, J)
+    Xs = jnp.einsum("ji,bci->bcj", desc, Xf, precision=_PREC)
+
+    dof_body = _dof_body_ids(model)
+    tau = 0.0
+    for i in range(6):
+        tau = tau + Sc[i] * Xs[:, i][:, dof_body]
+    return tau
+
+
 def mass_matrix(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
     """Joint-space mass matrix via world-frame CRBA. (B, N, N)."""
-    I_sp = _spatial_inertia_world(model, frame)
-    S = _motion_subspace(model, frame)
-    return _mass_matrix_from(model, I_sp, S)
+    params = _dyn_params(model, frame)
+    Sc = _motion_subspace_comps(model, frame)
+    return _mass_matrix_comps(model, params, Sc)
 
 
 def _mass_matrix_from(model: PhysicsModel, I_sp: jax.Array, S: jax.Array) -> jax.Array:
@@ -258,9 +477,9 @@ def bias_forces(model: PhysicsModel, frame: BodyFrame, state: PhysicsState) -> j
 
     Sign convention: M qacc = tau_applied - C (MuJoCo's qfrc_bias).
     """
-    I_sp = _spatial_inertia_world(model, frame)
-    S = _motion_subspace(model, frame)
-    return _bias_from(model, frame, state, I_sp, S)
+    params = _dyn_params(model, frame)
+    Sc = _motion_subspace_comps(model, frame)
+    return _bias_comps(model, frame, state, params, Sc)
 
 
 def _bias_from(
@@ -676,7 +895,7 @@ def _candidate_tables_v2(model: PhysicsModel):
 
 
 def _contact_system(
-    model: PhysicsModel, frame: BodyFrame, S: jax.Array, _stage: str = "full"
+    model: PhysicsModel, frame: BodyFrame, Sc, _stage: str = "full"
 ) -> ContactSystem:
     """Candidate narrow phases -> top-k compaction -> merged contact-frame
     Jacobian, all in SoA component form (see ContactSystem docstring).
@@ -695,7 +914,7 @@ def _contact_system(
     candidates are active (typical humanoid: < 40 of ~270).
     """
     B, J = frame.rot.shape[:2]
-    N = S.shape[1]
+    N = Sc[0].shape[1]
     tab = _candidate_tables_v2(model)
     ba_np, bb_np = tab["body_a"], tab["body_b"]
     bb0_np = np.maximum(bb_np, 0)
@@ -779,7 +998,7 @@ def _contact_system(
         return pen_all, v_n, v_t1, v_t2
     if A < C:
         pen, idx = jax.lax.top_k(pen_all, A)  # (B, A)
-        sel = (idx[..., None] == jnp.arange(C)).astype(S.dtype)  # (B, A, C)
+        sel = (idx[..., None] == jnp.arange(C)).astype(Sc[0].dtype)  # (B, A, C)
         Fd = jnp.stack([jnp.broadcast_to(f, (B, C)) for f in feats], axis=-1)
         fsel = jnp.einsum("bac,bcf->baf", sel, Fd, precision=_CPREC)  # exact
         fs = tuple(fsel[..., i] for i in range(len(feats)))
@@ -820,8 +1039,8 @@ def _contact_system(
     Wb = w_merged(x_b)
     mA3 = jnp.concatenate([mA, mA, mA], axis=1).swapaxes(1, 2)  # (B, N, 3A)
     mB3 = jnp.concatenate([mB, mB, mB], axis=1).swapaxes(1, 2)
-    Ja = sum(S[:, :, i, None] * Wa[i][:, None, :] for i in range(6))
-    Jb = sum(S[:, :, i, None] * Wb[i][:, None, :] for i in range(6))
+    Ja = sum(Sc[i][:, :, None] * Wa[i][:, None, :] for i in range(6))
+    Jb = sum(Sc[i][:, :, None] * Wb[i][:, None, :] for i in range(6))
     Jm = Ja * mA3 - Jb * mB3
 
     return ContactSystem(
@@ -844,18 +1063,19 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     skip = _DEBUG_SKIP
 
     frame = forward_kinematics(model, state)
-    # shared dynamics pieces (spatial inertias / motion subspace computed once
-    # for CRBA, RNEA, and the contact Jacobians)
-    S = _motion_subspace(model, frame)
+    # shared dynamics pieces (inertial params / motion subspace computed once
+    # for CRBA, RNEA, and the contact Jacobians) — component form, see
+    # _dyn_params
+    Sc = _motion_subspace_comps(model, frame)
     if "mass" in skip:
         M = jnp.broadcast_to(jnp.eye(N) * 10.0, (B, N, N))
     else:
-        I_sp = _spatial_inertia_world(model, frame)
-        M = _mass_matrix_from(model, I_sp, S)
+        params = _dyn_params(model, frame)
+        M = _mass_matrix_comps(model, params, Sc)
     if "bias" in skip or "mass" in skip:
         C = jnp.zeros((B, N))
     else:
-        C = _bias_from(model, frame, state, I_sp, S)
+        C = _bias_comps(model, frame, state, params, Sc)
 
     tau_act = pd_actuation(model, state, pd_target, dt)
     tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
@@ -877,7 +1097,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
         c_t = pen
         c_n = pen
     else:
-        cs = _contact_system(model, frame, S)
+        cs = _contact_system(model, frame, Sc)
         pen, active = cs.pen, cs.active
         Am = pen.shape[1]
 
@@ -991,12 +1211,12 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array)
     N = model.num_dofs
 
     frame = forward_kinematics(model, state)
-    S = _motion_subspace(model, frame)
-    I_sp = _spatial_inertia_world(model, frame)
-    M = _mass_matrix_from(model, I_sp, S)
-    C = _bias_from(model, frame, state, I_sp, S)
+    Sc = _motion_subspace_comps(model, frame)
+    params = _dyn_params(model, frame)
+    M = _mass_matrix_comps(model, params, Sc)
+    C = _bias_comps(model, frame, state, params, Sc)
 
-    cs = _contact_system(model, frame, S)
+    cs = _contact_system(model, frame, Sc)
     pen0, active0 = cs.pen, cs.active
     Am = pen0.shape[1]
     k, d = model.contact_stiffness, model.contact_damping

@@ -27,22 +27,37 @@ import flax.linen as nn
 SOFT_BOUND = 0.9
 FIXED_LOGSTD = -2.9
 
+# Trunk compute dtype. Params stay fp32 (param_dtype default); the trunk
+# matmuls already run as single bf16 MXU passes at DEFAULT precision, so
+# bf16 activations change no matmul numerics — they halve the HBM traffic
+# of the activations stashed for the backward pass (the update phase is
+# bandwidth-bound past the MXU roofline at minibatch 32768). LayerNorm and
+# both output heads run fp32: the PPO ratio/KL and value targets stay
+# full-precision.
+TRUNK_DTYPE = jnp.bfloat16
 
-def _dense(out, std=jnp.sqrt(2.0)):
-    return nn.Dense(out, kernel_init=nn.initializers.orthogonal(std), bias_init=nn.initializers.zeros)
+
+def _dense(out, std=jnp.sqrt(2.0), dtype=None):
+    return nn.Dense(
+        out,
+        kernel_init=nn.initializers.orthogonal(std),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+    )
 
 
 class MLP(nn.Module):
     sizes: Sequence[int]
     act: str = "silu"
     out_std: float = 1.4142135623730951  # sqrt(2)
+    dtype: Optional[jnp.dtype] = None  # trunk compute dtype; output is fp32
 
     @nn.compact
     def __call__(self, x):
         act = {"silu": nn.silu, "relu": nn.relu}[self.act]
         for s in self.sizes[:-1]:
-            x = act(_dense(s)(x))
-        return _dense(self.sizes[-1], std=self.out_std)(x)
+            x = act(_dense(s, dtype=self.dtype)(x))
+        return _dense(self.sizes[-1], std=self.out_std)(x.astype(jnp.float32))
 
 
 class PHCPolicy(nn.Module):
@@ -55,6 +70,7 @@ class PHCPolicy(nn.Module):
     action_dim: int
     hidden_size: int = 512
     layer_sizes: Tuple[int, ...] = (2048, 1536, 1024, 1024, 512)
+    dtype: Optional[jnp.dtype] = TRUNK_DTYPE
 
     @nn.compact
     def __call__(self, obs):
@@ -62,16 +78,16 @@ class PHCPolicy(nn.Module):
 
         a = obs
         for s in trunk_sizes[:-1]:
-            a = nn.silu(_dense(s)(a))
-        a = _dense(trunk_sizes[-1])(a)
-        a = nn.silu(nn.LayerNorm()(a))
+            a = nn.silu(_dense(s, dtype=self.dtype)(a))
+        a = _dense(trunk_sizes[-1], dtype=self.dtype)(a)
+        a = nn.silu(nn.LayerNorm(dtype=jnp.float32)(a.astype(jnp.float32)))
         mu = _dense(self.action_dim, std=0.01)(a)
 
         c = obs
         for s in trunk_sizes[:-1]:
-            c = nn.silu(_dense(s)(c))
-        c = _dense(trunk_sizes[-1])(c)
-        c = nn.silu(nn.LayerNorm()(c))
+            c = nn.silu(_dense(s, dtype=self.dtype)(c))
+        c = _dense(trunk_sizes[-1], dtype=self.dtype)(c)
+        c = nn.silu(nn.LayerNorm(dtype=jnp.float32)(c.astype(jnp.float32)))
         value = _dense(1, std=0.01)(c)[..., 0]
 
         return mu, value
