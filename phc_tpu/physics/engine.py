@@ -768,7 +768,7 @@ class ContactSystem(NamedTuple):
     t1: tuple  # 3 x (B, A) world components of tangent 1
     t2: tuple
     n: tuple
-    oh_signed: jax.Array  # (B, A, J) +1 at body_a, -1 at body_b (0 for ground)
+    oh_signed: jax.Array  # (B, J, A) +1 at body_a, -1 at body_b (0 for ground)
 
 
 def _rotmat_comps(q):
@@ -1003,17 +1003,23 @@ def _contact_system(
         fsel = jnp.einsum("bac,bcf->baf", sel, Fd, precision=_CPREC)  # exact
         fs = tuple(fsel[..., i] for i in range(len(feats)))
         # static per-candidate rows: [is_ground | oh_signed(J) | anc_a(N) | anc_b(N)]
-        ssel = jnp.einsum("bac,cf->baf", sel, tab["stat"], precision=_CPREC)
+        # static rows selected TRANSPOSED ((B, F, A)) so the (N, A)-shaped
+        # masks feed the Jacobian build directly — the (B, A, N)->(B, N, A)
+        # swapaxes on two mask tensors used to materialize an extra
+        # 2x(B, N, 3A) relayout
+        ssel = jnp.einsum("bac,cf->bfa", sel, tab["stat"], precision=_CPREC)
     else:
         pen = pen_all
         fs = tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
-        ssel = jnp.broadcast_to(tab["stat"][None], (B, C) + tab["stat"].shape[1:])
+        ssel = jnp.broadcast_to(
+            tab["stat"].T[None], (B,) + tab["stat"].T.shape
+        )
     x_a, x_b = fs[0:3], fs[3:6]
     t1, t2, n = fs[6:9], fs[9:12], fs[12:15]
     v_t1, v_t2, v_n = fs[15], fs[16], fs[17]
-    oh_signed = ssel[..., 1 : 1 + J]  # (B, A, J)
-    mA = ssel[..., 1 + J : 1 + J + N]  # (B, A, N) ancestor dof mask, side a
-    mB = ssel[..., 1 + J + N :]
+    oh_signed = ssel[:, 1 : 1 + J]  # (B, J, A)
+    mA = ssel[:, 1 + J : 1 + J + N]  # (B, N, A) ancestor dof mask, side a
+    mB = ssel[:, 1 + J + N :]
     active = (pen > 0.0).astype(pen.dtype)
     if _stage == "compact":  # perf attribution only
         return pen, mA, mB, fs[0]
@@ -1037,8 +1043,8 @@ def _contact_system(
 
     Wa = w_merged(x_a)
     Wb = w_merged(x_b)
-    mA3 = jnp.concatenate([mA, mA, mA], axis=1).swapaxes(1, 2)  # (B, N, 3A)
-    mB3 = jnp.concatenate([mB, mB, mB], axis=1).swapaxes(1, 2)
+    mA3 = jnp.concatenate([mA, mA, mA], axis=-1)  # (B, N, 3A), no relayout
+    mB3 = jnp.concatenate([mB, mB, mB], axis=-1)
     Ja = sum(Sc[i][:, :, None] * Wa[i][:, None, :] for i in range(6))
     Jb = sum(Sc[i][:, :, None] * Wb[i][:, None, :] for i in range(6))
     Jm = Ja * mA3 - Jb * mB3
@@ -1163,7 +1169,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
             f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)
         ]  # world components (B, A)
         cbf = jnp.stack(
-            [jnp.einsum("baj,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
+            [jnp.einsum("bja,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
         )  # (B, J, 3)
 
     # integrate: root position (world), quaternions via exponential map
@@ -1298,7 +1304,7 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array)
     f_n = jnp.maximum(k * pen_i * (pen_i > 0.0) - c_n * vnn, 0.0)
     f_world_w = [f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)]
     cbf = jnp.stack(
-        [jnp.einsum("baj,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
+        [jnp.einsum("bja,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
     )
     dof_torque = tau_act - kd * dt * qacc[:, 6:]
 

@@ -32,7 +32,7 @@ def timeit(name, fn, *args, iters=3):
         float(np.asarray(leaf).ravel()[0])
         ts.append(time.time() - t0)
     dt = float(np.median(ts))
-    print(f"{name:40s} {dt*1000:9.1f} ms")
+    print(f"{name:40s} {dt*1000:9.1f} ms", flush=True)
     return dt
 
 
@@ -67,6 +67,64 @@ def main():
     runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, jax.random.PRNGKey(1))
     float(jax.jit(lambda s, r: s.global_step + r.obs.sum())(state, runner))
     print("init done", flush=True)
+
+    # --- rollout glue attribution -------------------------------------------
+    from phc_tpu.motionlib import get_motion_state
+    from phc_tpu.env import kernels as ek
+    from phc_tpu.env.humanoid_env import _compute_obs
+
+    est = runner.env_state
+
+    def rep32(fn):
+        def wrapped(*args):
+            def body(c, _):
+                return c + 1.0 + fn(c, *args) * 1e-20, None
+            out, _ = jax.lax.scan(body, 0.0, None, length=32)
+            return out
+        return jax.jit(wrapped)
+
+    def motion_q(c, st):
+        t = st.motion_times_start + c * 1e-6
+        ref = get_motion_state(data, st.motion_ids, t)
+        return ref.rg_pos.sum() + ref.body_vel.sum() + ref.dof_pos.sum()
+
+    _f = rep32(motion_q)
+    timeit("32x get_motion_state", _f, est)
+
+    def obs_only(c, st):
+        frame = eng.forward_kinematics(env.model, st.physics._replace(root_pos=st.physics.root_pos + c * 1e-9))
+        ref = get_motion_state(data, st.motion_ids, st.motion_times_start + c * 1e-6)
+        return _compute_obs(env, frame, ref).sum()
+
+    _f2 = rep32(obs_only)
+    timeit("32x FK + motion_q + obs build", _f2, est)
+
+    from phc_tpu.rl import policies as pol
+    policy = pol.PHCPolicy(action_dim=env.num_dofs)
+    pparams = state.params
+
+    def pol_fwd(c, st, pp):
+        mu, v = policy.apply(pp, runner.obs + c * 1e-9)
+        return mu.sum() + v.sum()
+
+    _f3 = rep32(pol_fwd)
+    timeit("32x policy forward", _f3, est, pparams)
+
+    import phc_tpu.env.humanoid_env as henv2
+
+    def env_step_chain(st):
+        def body(c, _):
+            st2, out = henv2.step(env, data, c, out_prev * 0.0 + jnp.zeros((num_envs, 69)) if False else jnp.zeros((num_envs, 69)))
+            return st2, out.reward.sum()
+        # chain real env states through the scan (true sequential cost)
+        def body2(c, _):
+            st2, out = henv2.step(env, data, c, jnp.zeros((num_envs, 69)))
+            return st2, out.reward.sum()
+        stf, rs = jax.lax.scan(body2, st, None, length=32)
+        return rs.sum()
+
+    _f4 = jax.jit(env_step_chain)
+    timeit("32x full env.step (zero actions)", _f4, est)
 
     # --- full step ---------------------------------------------------------
     full = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
@@ -139,15 +197,15 @@ def main():
 
     def fk_contact(p):
         f = eng.forward_kinematics(model, p)
-        S = eng._motion_subspace(model, f)
-        cs = eng._contact_system(model, f, S)
+        Sc = eng._motion_subspace_comps(model, f)
+        cs = eng._contact_system(model, f, Sc)
         return cs.Jm.sum() + cs.v_t1.sum() + cs.v_n.sum()
 
     def fk_contact_stage(stage):
         def fn(p):
             f = eng.forward_kinematics(model, p)
-            S = eng._motion_subspace(model, f)
-            out = eng._contact_system(model, f, S, _stage=stage)
+            Sc = eng._motion_subspace_comps(model, f)
+            out = eng._contact_system(model, f, Sc, _stage=stage)
             return sum(o.sum() for o in out)
 
         return fn
@@ -156,8 +214,8 @@ def main():
         """contact system + the LHS rank update + Q_contact (everything the
         substep derives from contacts, minus the post-solve force block)."""
         f = eng.forward_kinematics(model, p)
-        S = eng._motion_subspace(model, f)
-        cs = eng._contact_system(model, f, S)
+        Sc = eng._motion_subspace_comps(model, f)
+        cs = eng._contact_system(model, f, Sc)
         dt = model.dt
         k, d = model.contact_stiffness, model.contact_damping
         f_n_pred = jnp.maximum(k * cs.pen - d * cs.v_n, 0.0) * cs.active
