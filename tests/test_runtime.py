@@ -1,0 +1,137 @@
+"""Runtime-layer tests: eval harness, orbax checkpoint roundtrip, AMASS
+converter (synthetic npz), metrics.
+
+Covers the surfaces SURVEY.md §3.4/§5.4 map from the reference
+(`scripts/train.py:75-257` EvalStats, `clean_pufferl/utils.py:18-56`
+checkpoints, `scripts/convert_amass_data.py`).
+"""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from phc_tpu.config import EnvConfig
+from phc_tpu.motionlib import MotionLib
+
+SAMPLE_PKL = "/root/reference/sample_data/cmu_mocap_05_06.pkl"
+STEP_DT = 1.0 / 30.0
+
+
+def test_eval_harness_random_policy():
+    """evaluate_policy sweeps the corpus and produces the reference's
+    eval/* metric keys; a random policy should (almost surely) fail the
+    clip, exercising the termination bookkeeping."""
+    from phc_tpu.runtime.eval_harness import evaluate_policy
+
+    cfg = EnvConfig(num_envs=4, motion_file=SAMPLE_PKL)
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=STEP_DT, seed=0)
+
+    rng = np.random.default_rng(0)
+
+    def act_fn(obs):
+        return jnp.asarray(rng.uniform(-1, 1, (obs.shape[0], 69)).astype(np.float32))
+
+    results, per_motion, failed = evaluate_policy(
+        cfg, lib, act_fn, num_envs=4, max_steps_cap=40, verbose=False
+    )
+    for key in (
+        "eval/success_rate",
+        "eval/mpjpe_all",
+        "eval/mpjpel_all",
+        "eval/mpjpe_pa",
+        "eval/accel_dist",
+        "eval/vel_dist",
+    ):
+        assert key in results, results.keys()
+    assert 0.0 <= results["eval/success_rate"] <= 1.0
+    assert np.isfinite(results["eval/mpjpe_all"])
+    # the single-clip corpus: per-motion arrays have one entry
+    assert len(per_motion["success"]) == lib.num_unique_motions
+    # failed keys feed PMCP (update_hard_sampling_weight accepts them)
+    lib.update_hard_sampling_weight(failed)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """save_checkpoint -> latest_checkpoint -> load_checkpoint restores the
+    exact train-state pytree (params, opt state, norm stats, rng, counters)."""
+    from phc_tpu.env import humanoid_env as henv
+    from phc_tpu.rl import ppo as ppo_mod
+    from phc_tpu.config import TrainConfig, PolicyConfig
+    from phc_tpu.runtime import checkpoint as ck
+
+    cfg = EnvConfig(num_envs=4, motion_file=SAMPLE_PKL)
+    env = henv.make_env(cfg)
+    ppo = ppo_mod.make_ppo(
+        TrainConfig(batch_size=16, minibatch_size=8), env, PolicyConfig(hidden_size=16, layer_sizes=(32, 16))
+    )
+    state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+
+    path = ck.save_checkpoint(str(tmp_path), "exp1", 7, state, {"a": 1})
+    assert Path(path).exists()
+    assert ck.latest_checkpoint(str(tmp_path), "exp1") == path
+    restored = ck.load_checkpoint(path, state)
+
+    leaves0 = jax.tree_util.tree_leaves(state)
+    leaves1 = jax.tree_util.tree_leaves(restored)
+    assert len(leaves0) == len(leaves1)
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    cfg_json = json.loads((tmp_path / "exp1" / "config.json").read_text())
+    assert cfg_json == {"a": 1}
+
+
+def test_amass_converter_synthetic(tmp_path):
+    """convert_amass_data on a synthetic AMASS-format npz: output schema
+    matches the shipped sample pkl and loads through MotionLib."""
+    import joblib
+
+    rng = np.random.default_rng(1)
+    F = 120
+    npz = tmp_path / "amass" / "SubjA" / "seq1_poses.npz"
+    npz.parent.mkdir(parents=True)
+    np.savez(
+        npz,
+        poses=np.concatenate(
+            [0.2 * rng.normal(size=(F, 66)), np.zeros((F, 90))], axis=1
+        ).astype(np.float64),
+        trans=np.cumsum(0.01 * rng.normal(size=(F, 3)), axis=0).astype(np.float64),
+        betas=np.zeros(16),
+        gender="neutral",
+        mocap_framerate=np.float64(60.0),
+    )
+
+    out = tmp_path / "out.pkl"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(Path(__file__).resolve().parent.parent / "scripts" / "convert_amass_data.py"),
+            "--amass-root",
+            str(tmp_path / "amass"),
+            "--out",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    clips = joblib.load(out)
+    assert len(clips) == 1
+    clip = next(iter(clips.values()))
+    for key in ("root_trans_offset", "pose_aa", "pose_quat_global", "beta", "gender", "fps"):
+        assert key in clip, clip.keys()
+    assert clip["fps"] == 30
+    assert clip["pose_aa"].shape[1:] == (72,)  # flat, like the shipped sample
+    assert clip["pose_quat_global"].shape[1:] == (24, 4)
+    # 60 -> 30 fps halves the frame count
+    assert abs(clip["pose_aa"].shape[0] - F // 2) <= 2
+
+    lib = MotionLib(str(out), is_deterministic=True, step_dt=STEP_DT)
+    data = lib.load_motions(num_motions=2)
+    assert data.gts.ndim == 3
