@@ -126,6 +126,9 @@ class PolicyConfig:
 
     hidden_size: int = 512
     layer_sizes: Tuple[int, ...] = (2048, 1536, 1024, 1024, 512)
+    # trunk matmul compute dtype: "bf16" halves activation traffic (params
+    # and heads stay fp32); "f32" for exactness experiments
+    trunk_dtype: str = "bf16"
     use_lstm: bool = False
     # with use_lstm: "critic" = LSTM critic + MLP actor (lstm_policy.py:25-87),
     # "actor" = LSTM actor + MLP critic (lstm_policy.py:91-148)

@@ -107,10 +107,15 @@ def make_ppo(cfg: TrainConfig, env: henv.HumanoidEnv, policy_cfg) -> PPO:
         cls = {"critic": policies.LSTMCriticPolicy, "actor": policies.LSTMActorPolicy}[variant]
         policy = cls(action_dim=env.num_dofs, hidden_size=policy_cfg.hidden_size)
     else:
+        import jax.numpy as _jnp
+
         policy = policies.PHCPolicy(
             action_dim=env.num_dofs,
             hidden_size=policy_cfg.hidden_size,
             layer_sizes=tuple(policy_cfg.layer_sizes),
+            dtype={"bf16": _jnp.bfloat16, "f32": None}[
+                getattr(policy_cfg, "trunk_dtype", "bf16")
+            ],
         )
     disc = policies.Discriminator(hidden_size=policy_cfg.hidden_size) if env.cfg.use_amp_obs else None
     rollout_steps = cfg.batch_size // env.num_envs
