@@ -366,33 +366,35 @@ def _bias_comps(model: PhysicsModel, frame: BodyFrame, state: PhysicsState, para
     wxp = _cross_c(w, pos)
     v_o = tuple(lin[i] - wxp[i] for i in range(3))
 
-    # bias acceleration propagation (world Plücker, about the origin)
+    # bias acceleration: a[b] = sum of per-body velocity-product terms over
+    # b's ancestor chain. Each body's term depends only on its OWN frame
+    # quantities (total body velocity w/v_o and its joint-rate subspace
+    # velocity), so the recursion a[child] = a[parent] + term(child) is a
+    # prefix sum over ancestors — one batched ancestor-mask matmul instead
+    # of a level-by-level scatter loop (the scatters dominated the whole
+    # dynamics build on TPU: ~5 ms/step at B=4096 vs ~0.3 ms for this).
     g = model.gravity
     root_sdot = -jnp.cross(frame.ang_vel[:, 0], state.vel[:, 0:3])  # (B, 3)
-    aw = [jnp.zeros((B, J)) for _ in range(3)]
-    av = [jnp.zeros((B, J)) for _ in range(3)]
     grav = np.array([0.0, 0.0, g], np.float32)
-    for i in range(3):
-        av[i] = av[i].at[:, 0].set(-grav[i] + root_sdot[:, i])
 
     joint_omega = state.vel[:, 6:].reshape(B, J - 1, 3)
-    for level in model.levels[1:]:
-        ids = jnp.asarray(level)
-        par = np.asarray(model.parents[level])
-        w_rel = T.quat_rotate(frame.rot[:, ids], joint_omega[:, ids - 1])  # (B, L, 3)
-        sv_ang = tuple(w_rel[..., i] for i in range(3))
-        x_l = tuple(pos[i][:, ids] for i in range(3))
-        sv_lin = _cross_c(x_l, sv_ang)
-        w1 = tuple(w[i][:, ids] for i in range(3))
-        v1 = tuple(v_o[i][:, ids] for i in range(3))
-        xm_ang = _cross_c(w1, sv_ang)
-        t1 = _cross_c(w1, sv_lin)
-        t2 = _cross_c(v1, sv_ang)
-        for i in range(3):
-            aw[i] = aw[i].at[:, ids].set(aw[i][:, par] + xm_ang[i])
-            av[i] = av[i].at[:, ids].set(av[i][:, par] + t1[i] + t2[i])
-    aw = tuple(aw)
-    av = tuple(av)
+    w_rel = T.quat_rotate(frame.rot[:, 1:], joint_omega)  # (B, J-1, 3) world
+    zero1 = jnp.zeros((B, 1))
+    sv_ang = tuple(jnp.concatenate([zero1, w_rel[..., i]], axis=1) for i in range(3))
+    sv_lin = _cross_c(pos, sv_ang)
+    term_aw = _cross_c(w, sv_ang)  # w x sv_ang (zero at root)
+    t1 = _cross_c(w, sv_lin)
+    t2 = _cross_c(v_o, sv_ang)
+    # root term: av[root] = -g + root_sdot (aw[root] = 0)
+    term_av = tuple(
+        (t1[i] + t2[i]).at[:, 0].add(-grav[i] + root_sdot[:, i]) for i in range(3)
+    )
+
+    anc = jnp.asarray(model.ancestor_mask.astype(np.float32))  # [i, j] = j anc-or-self of i
+    Xt = jnp.stack([*term_aw, *term_av], axis=1)  # (B, 6, J)
+    Xa = jnp.einsum("ij,bcj->bci", anc, Xt, precision=_PREC)
+    aw = tuple(Xa[:, i] for i in range(3))
+    av = tuple(Xa[:, 3 + i] for i in range(3))
 
     # closed-form spatial-inertia products (about the world origin):
     #   I [w; v] = [Iw w + m c x (w x c) + m c x v ; m (w x c) + m v]
