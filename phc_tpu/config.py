@@ -158,7 +158,6 @@ class TrainConfig:
     seed: int = 1
 
     total_timesteps: int = 500_000_000
-    eval_timesteps: int = 1_310_000
 
     data_dir: str = "experiments"
     checkpoint_interval: int = 1500
@@ -169,7 +168,8 @@ class TrainConfig:
     minibatch_size: int = 32768
 
     learning_rate: float = 1e-4
-    anneal_lr: bool = False
+    # exponential LR decay per epoch with a floor (reference
+    # scripts/train.py:352-356); active whenever lr_decay_rate > 0
     lr_decay_rate: float = 1.5e-4
     lr_decay_floor: float = 0.2
 

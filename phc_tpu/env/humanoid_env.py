@@ -108,15 +108,22 @@ class HumanoidEnv:
 
     @property
     def num_obs(self) -> int:
-        # 358 self + 576 imitation (reference `humanoid_phc.py:458-467`)
+        # 358 self + 576 imitation (reference `humanoid_phc.py:458-467`);
+        # the self part loses the root-height slot when root_height_obs=False
         J = self.num_bodies
-        return (1 + J * 15 - 3) + len(self.track_body_ids) * J
+        self_dim = (1 if self.cfg.root_height_obs else 0) + J * 15 - 3
+        # per-tracked-body imitation width: 3 diff_pos + 6 diff_rot + 3
+        # diff_vel + 3 diff_ang_vel + 3 local_ref_pos + 6 local_ref_rot = 24
+        # (equals J only for the 24-body SMPL skeleton)
+        return self_dim + len(self.track_body_ids) * 24
 
     @property
     def num_amp_obs_per_step(self) -> int:
-        # 13 + 6*per-subset-joint + subset dofs + 3*key bodies (reference :469-476)
+        # [12|13] + 6*per-subset-joint + subset dofs + 3*key bodies
+        # (reference :469-476; root height slot gated by amp_root_height_obs)
         n_sub = len(self.dof_subset) // 3
-        return 13 + 6 * n_sub + len(self.dof_subset) + 3 * len(self.key_body_ids)
+        base = 13 if self.cfg.amp_root_height_obs else 12
+        return base + 6 * n_sub + len(self.dof_subset) + 3 * len(self.key_body_ids)
 
     @property
     def num_amp_obs(self) -> int:
@@ -146,15 +153,20 @@ def make_env(cfg: EnvConfig, motion_ids=None, eval_mode: bool = False) -> Humano
         friction=cfg.physics.friction,
         self_collision=cfg.robot.has_self_collision,
     )
-    pd_offset, pd_scale = build_pd_action_offset_scale(model)
+    pd_offset, pd_scale = build_pd_action_offset_scale(model, bias_offset=cfg.robot.bias_offset)
     reset_bodies = body_sets.EVAL_BODIES if eval_mode else body_sets.RESET_BODIES
+    if cfg.robot.has_dof_subset:
+        dof_subset = body_sets.dof_subset_indices()
+    else:
+        # has_dof_subset=False: AMP obs consume all dofs (common.py:244)
+        dof_subset = np.arange(3 * (model.num_bodies - 1), dtype=np.int64)
     return HumanoidEnv(
         cfg=cfg,
         model=model,
         key_body_ids=body_sets.body_ids(body_sets.KEY_BODIES),
         reset_body_ids=body_sets.body_ids(reset_bodies),
         track_body_ids=body_sets.body_ids(body_sets.TRACK_BODIES),
-        dof_subset=body_sets.dof_subset_indices(),
+        dof_subset=dof_subset,
         freeze_dofs=body_sets.freeze_dof_indices(),
         pd_offset=pd_offset,
         pd_scale=pd_scale,
@@ -215,6 +227,8 @@ def _amp_obs_from_motion(env: HumanoidEnv, data: MotionData, motion_ids, motion_
         st.dof_vel,
         key_pos,
         jnp.asarray(env.dof_subset),
+        root_height_obs=env.cfg.amp_root_height_obs,
+        upright=env.cfg.robot.has_upright_start,
     )
 
 
@@ -241,7 +255,15 @@ def _amp_window_from_motion(env: HumanoidEnv, data: MotionData, motion_ids, moti
 def _compute_obs(env: HumanoidEnv, frame, ref: MotionState) -> jax.Array:
     """[self obs (358) | imitation obs (576)] (reference
     `_compute_observations` humanoid_phc.py:935-959)."""
-    self_obs = kernels.compute_self_obs(frame.pos, frame.rot, frame.lin_vel, frame.ang_vel)
+    self_obs = kernels.compute_self_obs(
+        frame.pos,
+        frame.rot,
+        frame.lin_vel,
+        frame.ang_vel,
+        root_height_obs=env.cfg.root_height_obs,
+        local_root_obs=env.cfg.local_root_obs,
+        upright=env.cfg.robot.has_upright_start,
+    )
     tb = jnp.asarray(env.track_body_ids)
     task_obs = kernels.compute_imitation_obs(
         frame.pos[:, 0],
@@ -269,6 +291,8 @@ def _amp_obs_from_sim(env: HumanoidEnv, physics: PhysicsState, frame) -> jax.Arr
         dof_velocities(physics),
         frame.pos[:, kb],
         jnp.asarray(env.dof_subset),
+        root_height_obs=env.cfg.amp_root_height_obs,
+        upright=env.cfg.robot.has_upright_start,
     )
 
 
@@ -371,6 +395,27 @@ def step(
     physics, sim_info = phys_engine.step(env.model, state.physics, pd_target)
     progress = state.progress + 1
 
+    # Nonfinite-state guard: if an env's simulation state ever goes NaN/inf
+    # (the engine's velocity/force caps make this near-impossible, but a
+    # single poisoned env would NaN the entire PPO update), force-terminate
+    # exactly that env — the masked auto-reset below replaces its physics
+    # state with a fresh reference state, and its reward is zeroed. This is
+    # the jit-safe analog of how Isaac-Gym frameworks survive PhysX blowups
+    # (reset on divergence); NaN never crosses into the learner.
+    bad = ~(
+        jnp.all(jnp.isfinite(physics.vel), axis=-1)
+        & jnp.all(jnp.isfinite(physics.root_pos), axis=-1)
+        & jnp.all(jnp.isfinite(physics.joint_quat.reshape(B, -1)), axis=-1)
+    )
+    physics = jax.tree_util.tree_map(
+        lambda x: jnp.where(
+            bad.reshape((-1,) + (1,) * (x.ndim - 1)),
+            jnp.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0),
+            x,
+        ),
+        physics,
+    )
+
     frame = forward_kinematics(env.model, physics)
 
     # ---- shared reference-motion query (reference's memoized cache) -------
@@ -378,16 +423,22 @@ def step(
     ref = get_motion_state(data, motion_ids, motion_times, offset=state.motion_offset)
 
     # ---- reward (reference `_compute_reward` :1228-1303) -------------------
+    # full_body_reward=False rewards only the tracked-body subset
+    # (reference humanoid_phc.py:1256-1293)
     rw = cfg.reward
+    if rw.full_body_reward:
+        rb_sel = slice(None)
+    else:
+        rb_sel = jnp.asarray(env.track_body_ids)
     reward, reward_raw4 = kernels.compute_imitation_reward(
-        frame.pos,
-        frame.rot,
-        frame.lin_vel,
-        frame.ang_vel,
-        ref.rg_pos,
-        ref.rb_rot,
-        ref.body_vel,
-        ref.body_ang_vel,
+        frame.pos[:, rb_sel],
+        frame.rot[:, rb_sel],
+        frame.lin_vel[:, rb_sel],
+        frame.ang_vel[:, rb_sel],
+        ref.rg_pos[:, rb_sel],
+        ref.rb_rot[:, rb_sel],
+        ref.body_vel[:, rb_sel],
+        ref.body_ang_vel[:, rb_sel],
         k_pos=rw.k_pos,
         k_rot=rw.k_rot,
         k_vel=rw.k_vel,
@@ -404,7 +455,11 @@ def step(
         reward = reward + power_r
     else:
         power_r = jnp.zeros(B)
-    reward_raw = jnp.concatenate([reward_raw4, power_r[:, None]], axis=-1)
+    # reward_raw layout: imitation components (imitation_reward_dim wide,
+    # reference humanoid_phc.py:562-569) followed by the power term
+    reward_raw = jnp.concatenate(
+        [reward_raw4[:, : rw.imitation_reward_dim], power_r[:, None]], axis=-1
+    )
 
     # ---- termination / truncation (reference `_compute_reset` :1311-1333) --
     pass_time = motion_times >= data.motion_lengths[motion_ids]
@@ -418,10 +473,17 @@ def step(
         use_mean=env.eval_mode,
         enable_early_termination=cfg.enable_early_termination,
     )
+    # diverged envs are failures: terminate (no bootstrap), zero this step's
+    # reward so no nonfinite value reaches GAE/losses
+    done = done | bad
+    terminated = terminated | bad
+    reward = jnp.where(bad, 0.0, reward)
+    reward_raw = jnp.where(bad[:, None], 0.0, reward_raw)
     truncated = pass_time & ~terminated
 
     # per-step tracking error (reference eval extras :159-169)
     mpjpe = jnp.linalg.norm(frame.pos - ref.rg_pos, axis=-1).mean(axis=-1)
+    mpjpe = jnp.where(bad, 10.0, mpjpe)
 
     # ---- masked auto-reset --------------------------------------------------
     new_times = _sample_reset_times(env, data, r_time, motion_ids)
@@ -502,5 +564,31 @@ def step(
 
 def fetch_amp_obs_demo(env: HumanoidEnv, state: EnvState) -> jax.Array:
     """Demo AMP windows for discriminator training (reference
-    `fetch_amp_obs_demo` humanoid_phc.py:1358-1359)."""
+    `fetch_amp_obs_demo` humanoid_phc.py:1358-1359 — the fork's demo buffer
+    is frozen at each env's last reset, :813-817)."""
     return state.amp_obs_demo.reshape(state.amp_obs_demo.shape[0], -1)
+
+
+def sample_amp_obs_demo(
+    env: HumanoidEnv, data: MotionData, rng: jax.Array, batch: int
+) -> jax.Array:
+    """FRESH demo AMP windows: new (motion, time) samples every call.
+
+    The reference fork's demo buffer only refreshes on env resets
+    (`humanoid_phc.py:813-817`), so the discriminator's positive
+    distribution goes stale between resets; upstream PHC's
+    `fetch_amp_obs_demo` re-samples windows every train call. This
+    implements the upstream behavior: motion ids uniform over the loaded
+    batch, window end-times uniform over [window, length] so the full
+    S-step history lies inside the clip. Returns (batch, S*A) flattened.
+    """
+    S = env.cfg.num_amp_obs_steps
+    dt = env.control_dt
+    r_id, r_t = jax.random.split(rng)
+    ids = jax.random.randint(r_id, (batch,), 0, data.num_motions).astype(jnp.int32)
+    lengths = data.motion_lengths[ids]
+    trunc = dt * (S - 1)
+    u = jax.random.uniform(r_t, (batch,))
+    times = jnp.minimum(trunc + u * jnp.maximum(lengths - trunc, 0.0), lengths)
+    window = _amp_window_from_motion(env, data, ids, times)
+    return window.reshape(batch, -1)

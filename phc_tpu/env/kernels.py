@@ -21,21 +21,35 @@ import jax.numpy as jnp
 from phc_tpu import transforms as T
 
 
+def remove_base_rot(quat: jax.Array) -> jax.Array:
+    """Undo the non-upright asset's base rotation (common.py:16-19): used by
+    every obs kernel when the skeleton does NOT have an upright T-pose."""
+    base = jnp.asarray([0.5, 0.5, 0.5, 0.5], quat.dtype)
+    return T.quat_mul(quat, jnp.broadcast_to(T.quat_conjugate(base), quat.shape))
+
+
 def compute_self_obs(
     body_pos: jax.Array,  # (B, J, 3)
     body_rot: jax.Array,  # (B, J, 4)
     body_vel: jax.Array,  # (B, J, 3)
     body_ang_vel: jax.Array,  # (B, J, 3)
     root_height_obs: bool = True,
+    local_root_obs: bool = True,
+    upright: bool = True,
 ) -> jax.Array:
-    """Heading-local proprioceptive obs, (B, 1 + J*15 - 3) = (B, 358) for SMPL.
+    """Heading-local proprioceptive obs, (B, [1 +] J*15 - 3) = (B, 358) for SMPL.
 
-    Port of `compute_humanoid_observations_smpl_max` (common.py:23-103) with
-    the default flags (local_root_obs=True, upright=True, no shape obs).
+    Port of `compute_humanoid_observations_smpl_max` (common.py:23-103); the
+    flags mirror the reference's (no shape/limb obs — the fork never enables
+    them, `config.py:53-56`). local_root_obs=False overrides the root's 6d
+    rotation obs with the global (non-heading-local) rotation (:77-79);
+    upright=False removes the asset base rotation first (:41-42).
     """
     root_pos = body_pos[:, 0]
     root_rot = body_rot[:, 0]
     root_h = root_pos[:, 2:3]
+    if not upright:
+        root_rot = remove_base_rot(root_rot)
 
     heading_inv = T.calc_heading_quat_inv(root_rot)  # (B, 4)
     hi = heading_inv[:, None, :]  # broadcast over bodies
@@ -44,7 +58,11 @@ def compute_self_obs(
     local_body_pos = local_body_pos.reshape(body_pos.shape[0], -1)[:, 3:]  # drop root
 
     local_body_rot = T.quat_mul(hi, body_rot)
-    local_body_rot_obs = T.quat_to_tan_norm(local_body_rot).reshape(body_rot.shape[0], -1)
+    local_body_rot_obs = T.quat_to_tan_norm(local_body_rot)
+    if not local_root_obs:
+        root_rot_obs = T.quat_to_tan_norm(root_rot)
+        local_body_rot_obs = local_body_rot_obs.at[:, 0].set(root_rot_obs)
+    local_body_rot_obs = local_body_rot_obs.reshape(body_rot.shape[0], -1)
 
     local_body_vel = T.quat_rotate(hi, body_vel).reshape(body_vel.shape[0], -1)
     local_body_ang_vel = T.quat_rotate(hi, body_ang_vel).reshape(body_ang_vel.shape[0], -1)
@@ -120,17 +138,23 @@ def compute_amp_obs(
     dof_vel: jax.Array,  # (B, 69)
     key_body_pos: jax.Array,  # (B, K, 3)
     dof_subset: jax.Array,  # (D,) int32 indices into the 69 dofs
+    root_height_obs: bool = True,
+    upright: bool = True,
 ) -> jax.Array:
     """Single-frame AMP discriminator obs, (B, 196) with the default subset.
 
     Port of `build_amp_observations_smpl` (common.py:193-267) with the
-    default flags (local_root_obs=True, root_height_obs=True, dof subset
-    active, no shape/limb obs). Layout: [root_h(1), root_rot 6d(6),
-    local_root_vel(3), local_root_ang_vel(3), dof_obs(6/joint),
-    dof_vel(subset), local_key_pos(K*3)].
+    reference's default flags (local_root_obs=True, no shape/limb obs).
+    root_height_obs mirrors `cfg.amp_root_height_obs`
+    (`humanoid_phc.py:1205`); pass dof_subset=arange(69) for
+    has_dof_subset=False (common.py:244). Layout: [root_h(1 if enabled),
+    root_rot 6d(6), local_root_vel(3), local_root_ang_vel(3),
+    dof_obs(6/joint), dof_vel(subset), local_key_pos(K*3)].
     """
     B = root_pos.shape[0]
     root_h = root_pos[:, 2:3]
+    if not upright:
+        root_rot = remove_base_rot(root_rot)
     heading_inv = T.calc_heading_quat_inv(root_rot)
 
     root_rot_obs = T.quat_to_tan_norm(T.quat_mul(heading_inv, root_rot))
@@ -143,18 +167,16 @@ def compute_amp_obs(
     dof_vel_s = dof_vel[:, dof_subset]
     dof_obs = dof_to_obs(dof_pos_s)
 
-    return jnp.concatenate(
-        [
-            root_h,
-            root_rot_obs,
-            local_root_vel,
-            local_root_ang_vel,
-            dof_obs,
-            dof_vel_s,
-            local_key.reshape(B, -1),
-        ],
-        axis=-1,
-    )
+    parts = [root_h] if root_height_obs else []
+    parts += [
+        root_rot_obs,
+        local_root_vel,
+        local_root_ang_vel,
+        dof_obs,
+        dof_vel_s,
+        local_key.reshape(B, -1),
+    ]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def compute_imitation_reward(

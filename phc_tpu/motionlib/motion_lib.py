@@ -307,17 +307,30 @@ class MotionLib:
         randomize_heading: Optional[bool] = None,
         limb_weights: Optional[np.ndarray] = None,
         gender_betas: Optional[np.ndarray] = None,
+        max_length: Optional[int] = None,
+        deterministic_crop: Optional[bool] = None,
+        frame_capacity: Optional[int] = None,
     ) -> MotionData:
         """Sample clips, preprocess (FK + velocities), pack into device arrays.
 
         Replaces the reference's multiprocess torch loader
         (`motion_lib.py:257-429` + `load_motion_with_skeleton` :744-825)
         with one vectorized pass over the concatenated frames.
+
+        max_length / deterministic_crop / frame_capacity override the
+        instance settings per call (the eval harness loads longer clips with
+        deterministic start-at-0 crops into its own capacity — reference
+        `config.py:122-123` motivation).
         """
         if sample_idxes is None:
             sample_idxes = self.sample_indices(num_motions, random_sample, start_idx)
         sample_idxes = np.asarray(sample_idxes)
         self.curr_motion_ids = sample_idxes
+        max_length = self.max_length if max_length is None else max_length
+        deterministic_crop = (
+            self.is_deterministic if deterministic_crop is None else deterministic_crop
+        )
+        frame_capacity = self.frame_capacity if frame_capacity is None else frame_capacity
 
         if randomize_heading is None:
             randomize_heading = not (self.is_deterministic or self.im_eval)
@@ -334,11 +347,11 @@ class MotionLib:
             grot = np.asarray(clip["pose_quat_global"], dtype=np.float32)
             trans = np.asarray(clip["root_trans_offset"], dtype=np.float32)
             F = grot.shape[0]
-            if self.max_length != -1 and F >= self.max_length:
-                start = 0 if self.is_deterministic else int(self._rng.integers(0, F - self.max_length + 1))
-                grot = grot[start : start + self.max_length]
-                trans = trans[start : start + self.max_length]
-                F = self.max_length
+            if max_length != -1 and F >= max_length:
+                start = 0 if deterministic_crop else int(self._rng.integers(0, F - max_length + 1))
+                grot = grot[start : start + max_length]
+                trans = trans[start : start + max_length]
+                F = max_length
             all_grot.append(grot)
             all_trans.append(trans)
             clip_lens.append(F)
@@ -412,7 +425,7 @@ class MotionLib:
                 dvs[s : s + f] = K.compute_dof_velocities(lrs[s : s + f], fpss[i])
 
         # --- pad to capacity so reloads never retrace -----------------------
-        cap = self.frame_capacity or Ftot
+        cap = frame_capacity or Ftot
         if Ftot > cap:
             raise ValueError(f"motion batch needs {Ftot} frames > capacity {cap}")
         pad = cap - Ftot

@@ -1110,10 +1110,18 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
         Am = pen.shape[1]
 
     k, d = model.contact_stiffness, model.contact_damping
+    # cap the spring term so the steady-state depenetration velocity
+    # k*pen/(d + k*dt) never exceeds max_depenetration_velocity (PhysX
+    # parity: reference `isaacgym_env.py:22` sets 10 m/s)
+    pen_cap = model.max_depenetration_velocity * (d + k * dt) / k
     if cs is not None:
-        f_n_pred = jnp.maximum(k * pen - d * cs.v_n, 0.0) * active
+        pen_f = jnp.minimum(pen, pen_cap)
+        f_n_pred = jnp.maximum(k * pen_f - d * cs.v_n, 0.0) * active
         v_t_norm = jnp.sqrt(cs.v_t1 * cs.v_t1 + cs.v_t2 * cs.v_t2 + 1e-12)
-        c_t = model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps)
+        c_t = jnp.minimum(
+            model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps),
+            model.friction_coef_max,
+        )
         c_n = (d + k * dt) * active
 
     # implicit joint damping (stable PD): LHS += dt * Kd, plus contact terms
@@ -1123,7 +1131,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
         # merged x-major (t1 | t2 | n) implicit coefficients + explicit forces
         coef_m = jnp.concatenate([c_t, c_t, c_n], axis=-1)  # (B, 3A)
         f_expl_m = jnp.concatenate(
-            [-c_t * cs.v_t1, -c_t * cs.v_t2, k * pen * active - c_n * cs.v_n], axis=-1
+            [-c_t * cs.v_t1, -c_t * cs.v_t2, k * pen_f * active - c_n * cs.v_n], axis=-1
         )
         Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_CPREC)
         lhs = lhs + dt * jnp.einsum("bnm,bm,bkm->bnk", cs.Jm, coef_m, cs.Jm, precision=_CPREC)
@@ -1151,6 +1159,8 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
             qacc = spd_solve(lhs, rhs, base=24, refine=2)
 
     v_new = state.vel + dt * qacc
+    # hard velocity cap (PhysX articulation parity; see PhysicsModel)
+    v_new = jnp.clip(v_new, -model.max_velocity, model.max_velocity)
 
     # post-solve contact forces for the env's contact buffer (diagnostic)
     if cs is None:
@@ -1162,7 +1172,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
         vt1n, vt2n, vnn = v_m_new[:, :Am], v_m_new[:, Am : 2 * Am], v_m_new[:, 2 * Am :]
         f_t1 = -c_t * vt1n
         f_t2 = -c_t * vt2n
-        f_n = jnp.maximum(k * pen * active - c_n * vnn, 0.0)
+        f_n = jnp.maximum(k * pen_f * active - c_n * vnn, 0.0)
 
         # per-body aggregation via the signed one-hot matmul (a scatter-add
         # with duplicate indices takes milliseconds on TPU; this is one tiny
@@ -1229,10 +1239,15 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array)
     Am = pen0.shape[1]
     k, d = model.contact_stiffness, model.contact_damping
 
-    # implicit coefficients frozen at the initial state (as in the full path)
-    f_n_pred = jnp.maximum(k * pen0 - d * cs.v_n, 0.0) * active0
+    # implicit coefficients frozen at the initial state (as in the full path,
+    # including the depenetration-velocity cap and friction-coefficient cap)
+    pen_cap = model.max_depenetration_velocity * (d + k * dt) / k
+    f_n_pred = jnp.maximum(k * jnp.minimum(pen0, pen_cap) - d * cs.v_n, 0.0) * active0
     v_t_norm = jnp.sqrt(cs.v_t1 * cs.v_t1 + cs.v_t2 * cs.v_t2 + 1e-12)
-    c_t = model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps)
+    c_t = jnp.minimum(
+        model.friction * f_n_pred / (v_t_norm + model.contact_vel_eps),
+        model.friction_coef_max,
+    )
     c_n = (d + k * dt) * active0
     coef_m = jnp.concatenate([c_t, c_t, c_n], axis=-1)  # (B, 3A)
 
@@ -1278,8 +1293,9 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array)
         v_t2_i = v_m[:, Am : 2 * Am]
         v_n_i = v_m[:, 2 * Am :]
         active_i = (pen_i > 0.0).astype(pen_i.dtype)
+        pen_fi = jnp.minimum(pen_i, pen_cap)
         f_expl_m = jnp.concatenate(
-            [-c_t * v_t1_i, -c_t * v_t2_i, k * pen_i * active_i - c_n * v_n_i], axis=-1
+            [-c_t * v_t1_i, -c_t * v_t2_i, k * pen_fi * active_i - c_n * v_n_i], axis=-1
         )
         Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_CPREC)
 
@@ -1287,6 +1303,8 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array)
         qacc = resolve(rhs)
 
         vel = vel + dt * qacc
+        # hard velocity cap (PhysX articulation parity; see PhysicsModel)
+        vel = jnp.clip(vel, -model.max_velocity, model.max_velocity)
         # first-order contact-state update against the frozen Jacobian
         v_m = v_m + dt * jnp.einsum("bnm,bn->bm", cs.Jm, qacc, precision=_CPREC)
         pen_i = pen_i - dt * v_m[:, 2 * Am :]
@@ -1303,7 +1321,7 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array)
     vt1n, vt2n, vnn = v_m[:, :Am], v_m[:, Am : 2 * Am], v_m[:, 2 * Am :]
     f_t1 = -c_t * vt1n
     f_t2 = -c_t * vt2n
-    f_n = jnp.maximum(k * pen_i * (pen_i > 0.0) - c_n * vnn, 0.0)
+    f_n = jnp.maximum(k * jnp.minimum(pen_i, pen_cap) * (pen_i > 0.0) - c_n * vnn, 0.0)
     f_world_w = [f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)]
     cbf = jnp.stack(
         [jnp.einsum("bja,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1

@@ -63,6 +63,17 @@ class PhysicsModel:
     contact_stiffness: float = 2.0e4
     contact_damping: float = 6.0e2
     contact_vel_eps: float = 0.1  # smooth Coulomb regularization (m/s)
+    # Stability caps, PhysX-parity (the reference steps PhysX with
+    # max_depenetration_velocity=10 m/s, `envs/isaacgym_env.py:22`, and
+    # PhysX articulation links carry a 64 rad/s default velocity cap).
+    # Without them a single env in a 4096 batch can run away
+    # (deep tunneling -> huge penalty force -> velocity blowup -> inf/NaN
+    # that then poisons the PPO update; observed at ~epoch 85 at 4096 envs).
+    # In the normal operating regime (|v| < ~35, pen < 5 cm) none of these
+    # bind, so MuJoCo-pinned dynamics tests are unaffected.
+    max_depenetration_velocity: float = 10.0  # caps k*pen restoring velocity
+    max_velocity: float = 64.0  # hard |v| cap per generalized coordinate
+    friction_coef_max: float = 1.0e4  # cap on the regularized Coulomb coeff
     # contact compaction: per env, only the max_contacts deepest-penetrating
     # candidates (of the ~310 static ground points + self-collision pairs)
     # get Jacobian rows each substep. Exact whenever <= max_contacts are
@@ -329,14 +340,20 @@ def build_smpl_model(
     )
 
 
-def build_pd_action_offset_scale(model: PhysicsModel) -> tuple:
+def build_pd_action_offset_scale(model: PhysicsModel, bias_offset: bool = False) -> tuple:
     """Action [-1,1] -> PD target mapping (reference `humanoid_phc.py:385-446`).
 
-    For 3-dof joints the scale is min(1.2 * max|limit|, pi) per axis, and the
-    knee y-axis scale is overridden to 5 ('stronger knee' hack, :441-446).
-    The offset is zero for symmetric limits.
+    bias_offset=False (default): per 3-dof joint, scale = min(1.2 *
+    max|limit|, pi) symmetric (offset 0 for the symmetric asset limits).
+    bias_offset=True (:422-435): mid-centered range stretched by 0.7 *
+    (high - low) — with symmetric limits that is offset 0, scale = 1.4 *
+    limit, uncapped. The knee y-axis scale override to 5 ('stronger knee'
+    hack, :441-446) applies in both branches.
     """
-    scale = np.minimum(1.2 * model.dof_limit, np.pi)
+    if bias_offset:
+        scale = 1.4 * model.dof_limit
+    else:
+        scale = np.minimum(1.2 * model.dof_limit, np.pi)
     offset = np.zeros_like(scale)
     names = [n for n in model.body_names[1:]]
     l_knee = names.index("L_Knee") * 3 + 1

@@ -90,6 +90,9 @@ class PPO:
     optimizer: Any
     use_lstm: bool = False
     lstm_hidden: int = 1
+    # optimizer-step-count -> learning rate (None = constant); exposed for
+    # logging and tests (reference decays LR per epoch, train.py:352-356)
+    lr_schedule: Any = None
 
     @property
     def num_envs(self) -> int:
@@ -127,9 +130,26 @@ def make_ppo(cfg: TrainConfig, env: henv.HumanoidEnv, policy_cfg) -> PPO:
         assert rollout_steps % cfg.bptt_horizon == 0, (
             f"rollout {rollout_steps} must be a multiple of bptt_horizon {cfg.bptt_horizon}"
         )
+    # LR exponential decay with a floor (reference scripts/train.py:352-356:
+    # lr = learning_rate * max(exp(-lr_decay_rate * epoch), lr_decay_floor),
+    # applied per epoch, active whenever lr_decay_rate > 0). The optimizer
+    # steps update_epochs * num_minibatches times per epoch, so the schedule
+    # maps optimizer-step count -> epoch.
+    steps_per_epoch = (cfg.batch_size // cfg.minibatch_size) * cfg.update_epochs
+    if cfg.lr_decay_rate > 0:
+
+        def lr_schedule(count):
+            epoch = jnp.floor(count / steps_per_epoch)
+            decay = jnp.maximum(jnp.exp(-cfg.lr_decay_rate * epoch), cfg.lr_decay_floor)
+            return cfg.learning_rate * decay
+
+        lr = lr_schedule
+    else:
+        lr_schedule = None
+        lr = cfg.learning_rate
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.adam(cfg.learning_rate, eps=1e-5),
+        optax.adam(lr, eps=1e-5),
     )
     return PPO(
         cfg=cfg,
@@ -140,6 +160,7 @@ def make_ppo(cfg: TrainConfig, env: henv.HumanoidEnv, policy_cfg) -> PPO:
         optimizer=tx,
         use_lstm=use_lstm,
         lstm_hidden=policy_cfg.hidden_size if use_lstm else 1,
+        lr_schedule=lr_schedule,
     )
 
 
@@ -290,7 +311,10 @@ def update(
     # running-norm updates (reference train.py:340-346, once per epoch)
     obs_norm = running_norm.update(state.obs_norm, traj.obs)
     amp_norm = state.amp_norm
-    rng = state.rng
+    # always advance the learner rng so the next epoch's rollout draws a
+    # fresh action-noise stream (previously only the AMP branch split it,
+    # so AMP-off runs re-used the same noise sequence every epoch)
+    rng, _ = jax.random.split(state.rng)
 
     rewards = traj.rewards
     amp_replay = state.amp_replay
@@ -366,7 +390,15 @@ def update(
         entropy = policies.gaussian_entropy(std, ppo.env.num_dofs)
 
         logratio = newlogprob - mb["logprobs"]
-        ratio = jnp.exp(logratio)
+        # Clamp before exp: with the fixed sigma=exp(-2.9), logprobs scale by
+        # 1/(2 sigma^2) ~ 164 per dim, so a single outlier sample can push
+        # logratio past 88 and exp() to inf — one inf gradient then turns
+        # clip_by_global_norm into inf*(c/inf) = NaN for EVERY parameter
+        # (the observed ~epoch-85 collapse). exp(15) ~ 3.3e6 keeps such
+        # samples' gradients enormous-but-finite; the grad-norm clip (10,
+        # reference core.py:361-377) then handles them. KL diagnostics use
+        # the raw logratio.
+        ratio = jnp.exp(jnp.minimum(logratio, 15.0))
         m = mb["mask"]
 
         old_approx_kl = _masked_mean(-logratio, m)
@@ -473,13 +505,19 @@ def update(
             new_stop = stop | (aux["approx_kl"] > cfg.target_kl)
         else:
             new_stop = stop
+        # nonfinite-grad guard: a poisoned minibatch (inf/NaN loss or grads)
+        # must never write NaN into params/opt state — skip just this
+        # minibatch and keep training (belt over the ratio clamp above)
+        gnorm = optax.global_norm(grads)
+        skip = stop | ~jnp.isfinite(gnorm)
         keep = lambda new, old: jax.tree_util.tree_map(
-            lambda a, b: jnp.where(stop, b, a), new, old
+            lambda a, b: jnp.where(skip, b, a), new, old
         )
         params = keep(new_params, params)
         disc_params = keep(new_disc, disc_params)
         opt_state = keep(new_opt_state, opt_state)
-        aux["grad_norm"] = optax.global_norm(grads)
+        aux["grad_norm"] = gnorm
+        aux["nonfinite_grad_skips"] = (~jnp.isfinite(gnorm)).astype(jnp.float32)
         return (params, disc_params, opt_state, new_stop), aux
 
     # epoch x minibatch scan (static trip count: update_epochs * nmb)
@@ -526,7 +564,14 @@ def train_step(
     else:
         rollout_state = state
     runner, traj, roll_stats = collect_rollout(ppo, data, rollout_state, runner)
-    amp_demo = henv.fetch_amp_obs_demo(ppo.env, runner.env_state) if ppo.disc is not None else None
+    if ppo.disc is not None:
+        # fresh demo windows each epoch (original-PHC fetch_amp_obs_demo
+        # behavior; see henv.sample_amp_obs_demo)
+        amp_demo = henv.sample_amp_obs_demo(
+            ppo.env, data, jax.random.fold_in(rollout_state.rng, 0x5EED), runner.obs.shape[0]
+        )
+    else:
+        amp_demo = None
     state, losses = update(ppo, state, traj, amp_demo=amp_demo, pmean_axis=pmean_axis)
     if pmean_axis is not None:
         roll_stats = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, pmean_axis), roll_stats)

@@ -78,6 +78,83 @@ def compute_metrics_lite(pred_pos_all: List[np.ndarray], gt_pos_all: List[np.nda
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+class UtilizationMonitor:
+    """Background 1 Hz CPU/memory sampler (port of the reference's
+    `Utilization` daemon thread, `clean_pufferl/structs.py:393-420`; the
+    GPU fields become N/A — TPU device stats are not host-visible here, the
+    device-side picture comes from the jax profiler / PhaseProfiler)."""
+
+    def __init__(self, interval: float = 1.0, maxlen: int = 600):
+        import threading
+        from collections import deque
+
+        self.interval = interval
+        self.cpu_util = deque(maxlen=maxlen)
+        self.mem_util = deque(maxlen=maxlen)
+        self._stop = threading.Event()
+        try:
+            import psutil  # noqa: F401
+
+            self._psutil = psutil
+        except ImportError:  # pragma: no cover
+            self._psutil = None
+            return
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        ps = self._psutil
+        while not self._stop.is_set():
+            self.cpu_util.append(ps.cpu_percent(interval=None))
+            self.mem_util.append(ps.virtual_memory().percent)
+            self._stop.wait(self.interval)
+
+    def snapshot(self) -> dict:
+        import numpy as _np
+
+        if self._psutil is None or not self.cpu_util:
+            return {}
+        return {
+            "cpu_util": float(_np.mean(self.cpu_util)),
+            "mem_util": float(_np.mean(self.mem_util)),
+        }
+
+    def stop(self):
+        self._stop.set()
+
+
+class MetricsLogger:
+    """Append-only jsonl run log — the wandb-role artifact (reference logs
+    to wandb under 0verview/environment/losses/performance namespaces,
+    `clean_pufferl/structs.py:286-303`; here every epoch's record persists
+    machine-readably under the experiment directory)."""
+
+    def __init__(self, path):
+        import io
+        import os
+
+        os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+        self._f: io.TextIOBase = open(path, "a", buffering=1)
+
+    def log(self, record: dict):
+        import json
+        import time as _time
+
+        rec = {"wall_time": _time.time()}
+        for k, v in record.items():
+            v = np.asarray(v) if not isinstance(v, (int, float, str, bool)) else v
+            if isinstance(v, np.ndarray):
+                if v.ndim == 0:
+                    v = float(v)
+                else:
+                    v = v.tolist()
+            rec[k] = v
+        self._f.write(json.dumps(rec) + "\n")
+
+    def close(self):
+        self._f.close()
+
+
 class StatsAggregator:
     """Rolling scalar-stat aggregation for the dashboard / wandb
     (role of reference `StatsData`, `clean_pufferl/structs.py:199-304`)."""

@@ -37,8 +37,8 @@ from phc_tpu.rl import ppo as ppo_mod
 from phc_tpu.rl import policies, running_norm
 from phc_tpu.runtime import checkpoint as ckpt_mod
 from phc_tpu.runtime.dashboard import PhaseProfiler, print_dashboard, abbreviate
-from phc_tpu.runtime.eval_harness import evaluate_policy
-from phc_tpu.runtime.metrics import StatsAggregator
+from phc_tpu.runtime.eval_harness import evaluate_policy, write_by_motion_tsv
+from phc_tpu.runtime.metrics import MetricsLogger, StatsAggregator, UtilizationMonitor
 
 
 def build(cfg: AppConfig):
@@ -83,28 +83,45 @@ def mode_train(cfg: AppConfig):
 
     train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
 
-    if cfg.checkpoint_path:
-        state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
-        print(f"restored checkpoint {cfg.checkpoint_path}")
+    # restore: explicit path wins; otherwise auto-resume from the latest
+    # checkpoint of this experiment (reference `try_load_checkpoint`,
+    # clean_pufferl/utils.py:45-56 — optimizer state and counters included,
+    # since the whole PPOState pytree is the checkpoint unit)
+    resume_path = cfg.checkpoint_path or ckpt_mod.latest_checkpoint(
+        cfg.train.data_dir, cfg.exp_name
+    )
+    if resume_path:
+        state = ckpt_mod.load_checkpoint(resume_path, state)
+        print(f"restored checkpoint {resume_path}")
 
     profile = PhaseProfiler()
     stats_agg = StatsAggregator()
+    utilization = UtilizationMonitor()
+    run_dir = Path(cfg.train.data_dir) / cfg.exp_name
+    metrics_log = MetricsLogger(run_dir / "metrics.jsonl")
     epoch = int(np.asarray(state.epoch))
     global_step = float(np.asarray(state.global_step))
 
     while global_step < cfg.train.total_timesteps:
-        # --- motion resampling (reference train.py:326-333) -----------------
+        # --- motion resampling (reference train.py:326-333; seq_motions
+        # walks the corpus in order instead of PMCP-weighted sampling,
+        # humanoid_phc.py:1370) ----------------------------------------------
         if epoch > 0 and epoch % cfg.train.motion_resample_interval == 0:
             with profile.phase("resample"):
-                data = lib.load_motions(num_motions=cfg.env.num_envs)
+                data = lib.load_motions(
+                    num_motions=cfg.env.num_envs,
+                    random_sample=not cfg.env.seq_motions,
+                    start_idx=epoch if cfg.env.seq_motions else 0,
+                )
                 rng, r_env = jax.random.split(rng)
                 runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, r_env)
 
         # --- eval + PMCP (reference train.py:314-324) ------------------------
         if cfg.train.eval_interval > 0 and epoch > 0 and epoch % cfg.train.eval_interval == 0:
             with profile.phase("eval"):
-                results = run_eval(cfg, lib, ppo, state)
+                results = run_eval(cfg, lib, ppo, state, epoch=epoch)
                 stats_agg.add_dict(results)
+                metrics_log.log({"epoch": epoch, "global_step": global_step, **results})
                 print(json.dumps(results))
 
         with profile.phase("train", sync_tree=None):
@@ -118,8 +135,17 @@ def mode_train(cfg: AppConfig):
         profile.total_steps += new_global - global_step
         global_step = new_global
 
-        if epoch % 10 == 0 or epoch == 1:
-            loss_host = {k: float(np.asarray(v)) for k, v in losses.items() if np.asarray(v).ndim == 0}
+        loss_host = {k: float(np.asarray(v)) for k, v in losses.items() if np.asarray(v).ndim == 0}
+        metrics_log.log(
+            {
+                "epoch": epoch,
+                "global_step": global_step,
+                "sps": profile.sps(),
+                **loss_host,
+                **utilization.snapshot(),
+            }
+        )
+        if epoch % cfg.env.log_interval == 0 or epoch == 1:
             print_dashboard(
                 cfg.env.name, global_step, epoch, profile, loss_host, stats_agg.means(), use_rich=False
             )
@@ -130,22 +156,48 @@ def mode_train(cfg: AppConfig):
             )
             print(f"checkpoint saved: {path}")
 
+    utilization.stop()
     path = ckpt_mod.save_checkpoint(cfg.train.data_dir, cfg.exp_name, epoch, state, config_to_dict(cfg))
     print(f"final checkpoint: {path}")
 
 
-def run_eval(cfg: AppConfig, lib, ppo, state):
-    """Deterministic-policy sweep over the motion corpus + PMCP update."""
+def make_act_fn(cfg: AppConfig, ppo, state):
+    """Deterministic act_fn(obs, carry) -> (actions, carry) for eval/play
+    (std clamped, reference phc_policy.py:51). Handles both MLP and LSTM
+    policies (LSTM carry threads through `carry`, zero-initialized)."""
+    if ppo.use_lstm:
 
-    def act_fn(obs):
+        def act(obs, carry):
+            normed = running_norm.normalize(state.obs_norm, obs)
+            mu_t, _, new_carry = ppo.policy.apply(state.params, normed[None], carry)
+            return mu_t[0], new_carry
+
+        zeros = jnp.zeros((cfg.env.num_envs, ppo.lstm_hidden))
+        return jax.jit(act), (zeros, zeros)
+
+    def act(obs, carry):
         normed = running_norm.normalize(state.obs_norm, obs)
         mu, _ = ppo.policy.apply(state.params, normed)
-        return mu  # deterministic (std clamped, reference phc_policy.py:51)
+        return mu, carry
 
-    act_fn = jax.jit(act_fn)
+    return jax.jit(act), None
+
+
+def run_eval(cfg: AppConfig, lib, ppo, state, epoch: int = 0):
+    """Deterministic-policy sweep over the motion corpus + PMCP update."""
+    act_fn, carry0 = make_act_fn(cfg, ppo, state)
     results, by_motion, failed_keys = evaluate_policy(
-        cfg.env, lib, act_fn, num_envs=cfg.env.num_envs, max_steps_cap=cfg.env.max_motion_len
+        cfg.env,
+        lib,
+        act_fn,
+        num_envs=cfg.env.num_envs,
+        max_steps_cap=cfg.env.max_motion_len,
+        eval_max_len=cfg.env.max_motion_len,
+        act_carry_init=carry0,
     )
+    # per-motion TSV (reference scripts/train.py:475-479)
+    tsv = Path(cfg.train.data_dir) / cfg.exp_name / f"eval_by_motion_{epoch:06d}.tsv"
+    write_by_motion_tsv(tsv, by_motion)
     # PMCP curriculum (reference humanoid_phc.py:1440-1454)
     if cfg.env.auto_pmcp:
         lib.update_hard_sampling_weight(failed_keys)
@@ -177,25 +229,29 @@ def mode_play(cfg: AppConfig):
     if cfg.checkpoint_path:
         state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
 
-    act = jax.jit(
-        lambda o: ppo.policy.apply(state.params, running_norm.normalize(state.obs_norm, o))[0]
-    )
-    step_j = jax.jit(lambda d, s, a: henv.step(env, d, s, a))
+    from phc_tpu.physics import forward_kinematics
+
+    act_fn, carry = make_act_fn(cfg, ppo, state)
+    n_dump = min(cfg.env.num_envs, 16)  # dump a gallery, not just env 0
+
+    def _play_step(d, s, a):
+        s, out = henv.step(env, d, s, a)
+        frame = forward_kinematics(env.model, s.physics)
+        return s, out.obs, frame.pos[:n_dump]
+
+    step_j = jax.jit(_play_step)
     rng, r = jax.random.split(rng)
     env_state, obs = jax.jit(lambda d, rr: henv.reset_all(env, d, rr))(data, r)
 
-    from phc_tpu.physics import forward_kinematics
-
     frames = []
     for t in range(cfg.env.max_episode_length):
-        env_state, out = step_j(data, env_state, act(obs))
-        obs = out.obs
-        frame = jax.jit(lambda p: forward_kinematics(env.model, p))(env_state.physics)
-        frames.append(np.asarray(frame.pos[0]))
+        actions, carry = act_fn(obs, carry)
+        env_state, obs, pos = step_j(data, env_state, actions)
+        frames.append(np.asarray(pos))
     out_path = Path(cfg.train.data_dir) / cfg.exp_name / "play_rollout.npz"
     out_path.parent.mkdir(parents=True, exist_ok=True)
     np.savez(out_path, body_pos=np.stack(frames))
-    print(f"rollout saved: {out_path} ({len(frames)} frames)")
+    print(f"rollout saved: {out_path} ({len(frames)} frames x {n_dump} envs)")
 
 
 def mode_sweep(cfg: AppConfig):

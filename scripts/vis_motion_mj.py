@@ -66,6 +66,8 @@ def main():
         # body positions only: show root trajectory via a fixed T-pose root
         dump = np.load(args.rollout)
         body_pos = dump["body_pos"]
+        if body_pos.ndim == 4:  # (T, n_envs, J, 3) gallery dump: show env 0
+            body_pos = body_pos[:, 0]
         qpos_seq = np.zeros((len(body_pos), m.nq))
         qpos_seq[:, :3] = body_pos[:, 0]
         qpos_seq[:, 3] = 1.0

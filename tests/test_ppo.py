@@ -88,17 +88,34 @@ def test_train_step_with_amp_discriminator():
 
 
 def test_reward_improves_on_single_clip():
-    """Minimum end-to-end learning slice (SURVEY.md §7 build order 4):
-    a few PPO epochs on one clip should not collapse and should keep the
-    mean imitation reward in a sane band (learning signal flows)."""
-    lib, data, env, ppo = make_setup()
+    """Actual learning test (r1 VERDICT item 7): 60 PPO epochs on the sample
+    clip must (a) stay NaN-free throughout and (b) raise the mean imitation
+    reward by a clear margin over the start — the minimum end-to-end
+    learning slice of SURVEY.md §7 build order 4. Deterministic (fixed
+    seeds, CPU backend), measured headroom ~2x the asserted margin."""
+    nB, nT = 64, 32
+    env_cfg = EnvConfig(num_envs=nB, motion_file=SAMPLE_PKL)
+    train_cfg = TrainConfig(batch_size=nB * nT, minibatch_size=nB * nT // 4)
+    pol_cfg = PolicyConfig(hidden_size=64, layer_sizes=(128, 64))
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=1.0 / 30.0)
+    data = lib.load_motions(num_motions=nB)
+    env = henv.make_env(env_cfg)
+    ppo = ppo_mod.make_ppo(train_cfg, env, pol_cfg)
+
     state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
     runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
     train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
 
-    rewards = []
-    for _ in range(3):
+    rewards, terms = [], []
+    for _ in range(60):
         state, runner, losses = train_step(data, state, runner)
         rewards.append(float(losses["mean_reward"]))
-    assert all(np.isfinite(r) for r in rewards)
-    assert rewards[-1] > 0.05  # not collapsed
+        terms.append(float(losses["termination_rate"]))
+    # (a) NaN-watch: every epoch finite, params finite at the end
+    assert np.isfinite(rewards).all()
+    assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(state.params))
+    # (b) learning: last-10 mean reward beats first-10 by a margin, and the
+    # early-termination (fall) rate dropped
+    first, last = np.mean(rewards[:10]), np.mean(rewards[-10:])
+    assert last > first + 0.02, (first, last)
+    assert np.mean(terms[-10:]) < np.mean(terms[:10]), (terms[:10], terms[-10:])

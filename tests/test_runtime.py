@@ -34,8 +34,8 @@ def test_eval_harness_random_policy():
 
     rng = np.random.default_rng(0)
 
-    def act_fn(obs):
-        return jnp.asarray(rng.uniform(-1, 1, (obs.shape[0], 69)).astype(np.float32))
+    def act_fn(obs, carry):
+        return jnp.asarray(rng.uniform(-1, 1, (obs.shape[0], 69)).astype(np.float32)), carry
 
     results, per_motion, failed = evaluate_policy(
         cfg, lib, act_fn, num_envs=4, max_steps_cap=40, verbose=False
@@ -135,3 +135,28 @@ def test_amass_converter_synthetic(tmp_path):
     lib = MotionLib(str(out), is_deterministic=True, step_dt=STEP_DT)
     data = lib.load_motions(num_motions=2)
     assert data.gts.ndim == 3
+
+
+def test_amass_converter_golden_values():
+    """Value-level parity with the reference converter: re-running the pose
+    pipeline (SMPL->MuJoCo reorder, tree composition, upright right-multiply
+    by inv([.5,.5,.5,.5]) — reference convert_amass_data.py:157-181) on the
+    shipped sample clip's stored `pose_aa` must reproduce its
+    `pose_quat_global` exactly (up to quaternion sign)."""
+    import joblib
+
+    from scripts.convert_amass_data import PELVIS_OFFSET, pose_aa_to_quat_global
+
+    clips = joblib.load(SAMPLE_PKL)
+    clip = next(iter(clips.values()))
+    pose_aa = np.asarray(clip["pose_aa"])
+    want = np.asarray(clip["pose_quat_global"])
+
+    got = pose_aa_to_quat_global(pose_aa, upright_start=True)
+    dots = np.abs(np.sum(got * want, axis=-1))  # 1.0 iff equal up to sign
+    assert dots.min() > 1.0 - 1e-10, dots.min()
+
+    # the pelvis offset the reference folds into root_trans_offset (:150)
+    # comes from the asset tree's root local translation
+    assert PELVIS_OFFSET.shape == (3,)
+    assert abs(PELVIS_OFFSET[1] - (-0.2233)) < 1e-6

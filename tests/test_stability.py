@@ -1,0 +1,179 @@
+"""Numerical-robustness tests: the failure chain behind the r1 training NaN.
+
+The observed collapse (epoch ~85 at 4096 envs on TPU): one env's physics
+state diverges -> NaN obs poisons one minibatch -> inf/NaN gradients turn
+`clip_by_global_norm` into NaN for every parameter. These tests pin each
+link of the defense: engine velocity caps, env-level divergence resets,
+PPO ratio clamping and the nonfinite-gradient guard.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from phc_tpu.config import EnvConfig, PolicyConfig, TrainConfig
+from phc_tpu.env import humanoid_env as henv
+from phc_tpu.motionlib import MotionLib
+from phc_tpu.physics import engine as phys_engine
+from phc_tpu.rl import ppo as ppo_mod
+
+SAMPLE_PKL = "/root/reference/sample_data/cmu_mocap_05_06.pkl"
+B, T = 8, 8
+
+
+def make_setup(use_amp=False, **train_kw):
+    env_cfg = EnvConfig(num_envs=B, motion_file=SAMPLE_PKL, use_amp_obs=use_amp)
+    train_cfg = TrainConfig(batch_size=B * T, minibatch_size=B * T // 2, **train_kw)
+    pol_cfg = PolicyConfig(hidden_size=32, layer_sizes=(64, 32))
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=1.0 / 30.0)
+    data = lib.load_motions(num_motions=B)
+    env = henv.make_env(env_cfg, motion_ids=np.zeros(B, np.int64))
+    ppo = ppo_mod.make_ppo(train_cfg, env, pol_cfg)
+    return lib, data, env, ppo
+
+
+def _params_finite(params) -> bool:
+    return all(bool(jnp.isfinite(x).all()) for x in jax.tree_util.tree_leaves(params))
+
+
+def test_velocity_cap_bounds_runaway():
+    """A state with absurd velocities must come out of the engine step with
+    every generalized velocity inside the PhysX-parity cap (model.py
+    max_velocity; reference analog `isaacgym_env.py:22`)."""
+    _, data, env, _ = make_setup()
+    st = phys_engine.default_state(env.model, 4, height=0.9)
+    st = st._replace(vel=st.vel.at[:].set(1e4))
+    out, _ = phys_engine.step(env.model, st, jnp.zeros((4, env.num_dofs)))
+    assert bool(jnp.isfinite(out.vel).all())
+    assert float(jnp.abs(out.vel).max()) <= env.model.max_velocity + 1e-3
+    assert bool(jnp.isfinite(out.root_pos).all())
+    assert bool(jnp.isfinite(out.joint_quat).all())
+
+
+def test_bad_physics_state_forces_reset():
+    """If an env's physics state is nonfinite, step() must terminate exactly
+    that env, zero its reward, and hand back a fully finite state/obs."""
+    _, data, env, _ = make_setup()
+    state, obs = henv.reset_all(env, data, jax.random.PRNGKey(0))
+    vel = state.physics.vel.at[0].set(jnp.nan)
+    state = state._replace(physics=state.physics._replace(vel=vel))
+
+    new_state, out = jax.jit(lambda d, s, a: henv.step(env, d, s, a))(
+        data, state, jnp.zeros((B, env.num_dofs))
+    )
+    assert bool(out.terminated[0]) and bool(out.done[0])
+    assert float(out.reward[0]) == 0.0
+    assert bool(jnp.isfinite(out.obs).all())
+    assert bool(jnp.isfinite(out.reward).all())
+    assert bool(jnp.isfinite(new_state.physics.vel).all())
+    assert bool(jnp.isfinite(new_state.physics.root_pos).all())
+    # healthy envs unaffected
+    assert not bool(out.terminated[1:].any()) or True  # they may terminate on their own
+
+
+def test_ratio_clamp_survives_extreme_logratio():
+    """Stored logprobs shifted by -1000 make exp(logratio) overflow without
+    the clamp; the update must stay finite and keep training."""
+    _, data, env, ppo = make_setup()
+    state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
+    runner, traj, _ = ppo_mod.collect_rollout(ppo, data, state, runner)
+    traj = traj._replace(logprobs=traj.logprobs - 1000.0)
+    new_state, losses = ppo_mod.update(ppo, state, traj)
+    assert _params_finite(new_state.params)
+    assert np.isfinite(float(losses["policy_loss"]))
+    assert float(losses["nonfinite_grad_skips"]) == 0.0
+
+
+def test_nonfinite_grad_guard_skips_minibatch():
+    """NaN observations in the batch produce NaN grads; the guard must skip
+    those minibatch updates and leave parameters untouched and finite."""
+    _, data, env, ppo = make_setup()
+    state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
+    runner, traj, _ = ppo_mod.collect_rollout(ppo, data, state, runner)
+    bad_obs = traj.obs.at[0, 0, 0].set(jnp.nan)
+    traj = traj._replace(obs=bad_obs)
+    new_state, losses = ppo_mod.update(ppo, state, traj)
+    assert _params_finite(new_state.params)
+    assert float(losses["nonfinite_grad_skips"]) > 0.0
+
+
+def test_lr_decay_schedule_value():
+    """LR after N epochs == learning_rate * max(exp(-rate*N), floor)
+    (reference scripts/train.py:352-356)."""
+    _, data, env, ppo = make_setup(lr_decay_rate=0.1, lr_decay_floor=0.2, learning_rate=1e-3)
+    steps_per_epoch = (ppo.cfg.batch_size // ppo.cfg.minibatch_size) * ppo.cfg.update_epochs
+    for epoch in (0, 1, 5, 100):
+        got = float(ppo.lr_schedule(epoch * steps_per_epoch))
+        want = 1e-3 * max(np.exp(-0.1 * epoch), 0.2)
+        assert np.isclose(got, want, rtol=1e-6), (epoch, got, want)
+    # no-decay config keeps a constant LR
+    _, _, _, ppo0 = make_setup(lr_decay_rate=0.0)
+    assert ppo0.lr_schedule is None
+
+
+def test_rng_advances_every_epoch():
+    """The learner rng must change across epochs even without AMP, so each
+    rollout draws fresh exploration noise."""
+    _, data, env, ppo = make_setup()
+    state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
+    step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
+    s1, runner, _ = step(data, state, runner)
+    s2, runner, _ = step(data, s1, runner)
+    assert not np.array_equal(np.asarray(s1.rng), np.asarray(state.rng))
+    assert not np.array_equal(np.asarray(s2.rng), np.asarray(s1.rng))
+
+
+def test_fresh_amp_demo_sampling():
+    """sample_amp_obs_demo returns different demo windows for different rng
+    (VERDICT r1 item 5: the discriminator's positive batch must not be
+    frozen at env resets)."""
+    _, data, env, _ = make_setup(use_amp=True)
+    d1 = henv.sample_amp_obs_demo(env, data, jax.random.PRNGKey(0), B)
+    d2 = henv.sample_amp_obs_demo(env, data, jax.random.PRNGKey(1), B)
+    assert d1.shape == (B, env.num_amp_obs)
+    assert bool(jnp.isfinite(d1).all()) and bool(jnp.isfinite(d2).all())
+    assert not np.allclose(np.asarray(d1), np.asarray(d2))
+
+
+def test_config_flag_wiring():
+    """Declared env flags actually change the computation (r1 VERDICT item 4):
+    obs/amp widths respond to root_height_obs / amp_root_height_obs /
+    has_dof_subset, and full_body_reward=False still steps."""
+    import dataclasses
+
+    base = EnvConfig(num_envs=4, motion_file=SAMPLE_PKL)
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=1.0 / 30.0)
+    data = lib.load_motions(num_motions=4)
+
+    env0 = henv.make_env(base)
+    assert env0.num_obs == 934  # the reference contract (humanoid_phc.py:466)
+
+    cfg_h = dataclasses.replace(base, root_height_obs=False)
+    env_h = henv.make_env(cfg_h)
+    assert env_h.num_obs == 933
+    _, obs = henv.reset_all(env_h, data, jax.random.PRNGKey(0))
+    assert obs.shape == (4, 933)
+
+    cfg_a = dataclasses.replace(base, amp_root_height_obs=False, use_amp_obs=True)
+    env_a = henv.make_env(cfg_a)
+    assert env_a.num_amp_obs_per_step == env0.num_amp_obs_per_step - 1
+    st, _ = henv.reset_all(env_a, data, jax.random.PRNGKey(0))
+    assert st.amp_obs_hist.shape[-1] == env_a.num_amp_obs_per_step
+
+    cfg_d = dataclasses.replace(
+        base, robot=dataclasses.replace(base.robot, has_dof_subset=False)
+    )
+    env_d = henv.make_env(cfg_d)
+    assert len(env_d.dof_subset) == 69  # all dofs (common.py:244)
+    assert env_d.num_amp_obs_per_step > env0.num_amp_obs_per_step
+
+    cfg_f = dataclasses.replace(
+        base, reward=dataclasses.replace(base.reward, full_body_reward=False)
+    )
+    env_f = henv.make_env(cfg_f)
+    st, _ = henv.reset_all(env_f, data, jax.random.PRNGKey(0))
+    _, out = henv.step(env_f, data, st, jnp.zeros((4, env_f.num_dofs)))
+    assert bool(jnp.isfinite(out.reward).all())
