@@ -189,10 +189,16 @@ class TrainConfig:
     bound_coef: float = 10.0
     l2_reg_coef: float = 0.0
 
-    # GAE formula: "reference" replicates the reference's off-by-one Cython
-    # scan (`c_gae.pyx:24-31`, see SURVEY.md §7 quirks); "textbook" is the
-    # standard CleanRL formulation.
-    gae_formula: str = "reference"
+    # GAE formula. "textbook" is the behavioral-parity default: the
+    # reference's Cython kernel (`c_gae.pyx:24-31`) indexes r[t+1]/done[t+1]
+    # because its Experience rows are recv-aligned (reward lands one row
+    # after its action), which on same-index rollout storage IS the textbook
+    # formula. "reference_raw" replicates the raw index arithmetic instead —
+    # on our same-index Trajectory that shifts credit one step and
+    # bootstraps terminal deltas from the next episode's reset value (it
+    # rewards falling; kept only for kernel-level comparisons, see
+    # rl/gae.py docstring).
+    gae_formula: str = "textbook"
 
 
 @dataclass
@@ -213,10 +219,22 @@ class SweepConfig:
 
 
 @dataclass
+class PerturbConfig:
+    """Scripted projectile-style perturbations for mode_play robustness
+    checks — the headless analog of the reference viewer's keyboard-
+    triggered projectiles (`render_env.py:105-126,273-295`)."""
+
+    interval: int = 0  # apply a perturbation every N control steps (0 = off)
+    duration: int = 3  # control steps each perturbation lasts
+    force: float = 800.0  # Newtons, applied at one random body, random direction
+
+
+@dataclass
 class AppConfig:
     mode: str = "train"  # train | play | eval | sweep
     exp_name: str = "phc_tpu"
     checkpoint_path: Optional[str] = None
+    perturb: PerturbConfig = field(default_factory=PerturbConfig)
     env: EnvConfig = field(default_factory=EnvConfig)
     policy: PolicyConfig = field(default_factory=PolicyConfig)
     rnn: RNNConfig = field(default_factory=RNNConfig)

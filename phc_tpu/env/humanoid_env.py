@@ -368,10 +368,18 @@ def reset_all(
 
 
 def step(
-    env: HumanoidEnv, data: MotionData, state: EnvState, actions: jax.Array
+    env: HumanoidEnv,
+    data: MotionData,
+    state: EnvState,
+    actions: jax.Array,
+    body_force: Optional[jax.Array] = None,
 ) -> Tuple[EnvState, StepOutput]:
     """One control step: PD-actuated physics, reward, termination, masked
-    auto-reset, next obs. Fully jittable; no host round trips."""
+    auto-reset, next obs. Fully jittable; no host round trips.
+
+    body_force: optional (B, J, 3) world forces at body origins for
+    perturbation-robustness evaluation (the reference viewer's projectiles,
+    `render_env.py:273-295`)."""
     cfg = env.cfg
     B = state.progress.shape[0]
     motion_ids = state.motion_ids
@@ -392,7 +400,7 @@ def step(
         pd_target = pd_target.at[:, jnp.asarray(env.freeze_dofs)].set(0.0)
 
     # ---- physics -----------------------------------------------------------
-    physics, sim_info = phys_engine.step(env.model, state.physics, pd_target)
+    physics, sim_info = phys_engine.step(env.model, state.physics, pd_target, body_force)
     progress = state.progress + 1
 
     # Nonfinite-state guard: if an env's simulation state ever goes NaN/inf

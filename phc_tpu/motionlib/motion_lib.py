@@ -436,11 +436,19 @@ class MotionLib:
             return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
 
         fps_arr = np.asarray(fpss, dtype=np.float32)
-        bodies = (
-            np.asarray(gender_betas, np.float32)
-            if gender_betas is not None
-            else np.zeros((len(clips), 17), np.float32)
-        )
+        if gender_betas is not None:
+            bodies = np.asarray(gender_betas, np.float32)
+        else:
+            # per-clip [gender_number, betas(16)] from the dataset (reference
+            # `motion_lib.py:381-398` gender_beta; feeds shape-conditioned
+            # obs when has_shape_obs is on)
+            gender_num = {"neutral": 0.0, "male": 1.0, "female": 2.0}
+            bodies = np.zeros((len(clips), 17), np.float32)
+            for i, clip in enumerate(clips):
+                if "beta" in clip:
+                    b = np.asarray(clip["beta"], np.float32).ravel()[:16]
+                    bodies[i, 0] = gender_num.get(str(clip.get("gender", "neutral")), 0.0)
+                    bodies[i, 1 : 1 + len(b)] = b
         limbw = (
             np.asarray(limb_weights, np.float32)
             if limb_weights is not None

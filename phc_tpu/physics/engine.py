@@ -727,7 +727,7 @@ def pd_actuation(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
     return tau  # (B, 69)
 
 
-def step(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
+def step(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array, body_force=None):
     """One control step = `model.substeps` physics substeps.
 
     substep_mode "full": every substep recomputes FK/dynamics/contacts
@@ -735,19 +735,42 @@ def step(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
     built and factored once per control step, the substeps are velocity
     iterations against the frozen factorization (see _step_frozen).
 
+    body_force: optional (B, J, 3) world-frame external forces applied at
+    each body origin, held for the whole control step — the TPU-native
+    analog of the reference viewer's projectile perturbations
+    (`render_env.py:273-295,337-356`). None compiles the force-free program.
+
     Returns (new_state, info dict with contact forces and dof torques of the
     last substep).
     """
     if model.substep_mode == "frozen":
-        return _step_frozen(model, state, pd_target)
+        return _step_frozen(model, state, pd_target, body_force)
 
     def substep(s, _):
-        s2, info = _physics_substep(model, s, pd_target)
+        s2, info = _physics_substep(model, s, pd_target, body_force)
         return s2, info
 
     state, infos = jax.lax.scan(substep, state, None, length=model.substeps)
     info = jax.tree_util.tree_map(lambda x: x[-1], infos)
     return state, info
+
+
+def _external_generalized_force(model: PhysicsModel, frame: BodyFrame, Sc, body_force):
+    """Q_ext (B, N) from world point forces at body origins.
+
+    Q_n = S_n . sum_{j in subtree(n)} [p_j x f_j; f_j]. The (n, j) ancestry
+    mask factors out of the component sum, so this is 6 small (B,J)@(J,N)
+    matmuls + fused elementwise — no (B, N, J) materialization.
+    """
+    pos = tuple(frame.pos[..., i] for i in range(3))
+    f = tuple(body_force[..., i] for i in range(3))
+    pxf = _cross3(pos, f)
+    dof_body = _dof_body_ids(model)
+    anc_t = jnp.asarray(model.ancestor_mask[:, dof_body].astype(np.float32))  # (J, N)
+    Q = 0.0
+    for w in range(3):
+        Q = Q + Sc[w] * (pxf[w] @ anc_t) + Sc[3 + w] * (f[w] @ anc_t)
+    return Q
 
 
 class ContactSystem(NamedTuple):
@@ -1063,7 +1086,7 @@ def _contact_system(
 _DEBUG_SKIP: frozenset = frozenset()
 
 
-def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
+def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array, body_force=None):
     dt = model.dt
     B = state.batch
     J = model.num_bodies
@@ -1087,6 +1110,8 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
 
     tau_act = pd_actuation(model, state, pd_target, dt)
     tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
+    if body_force is not None:
+        tau = tau + _external_generalized_force(model, frame, Sc, body_force)
 
     # ---- linearly-implicit contacts (ground plane + self-collision) -------
     # Spring-damper contact evaluated at the END-of-step velocity:
@@ -1204,7 +1229,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     return new_state, info
 
 
-def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array):
+def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array, body_force=None):
     """One control step as `substeps` velocity iterations against a system
     built and FACTORED once (TGS-style sub-iterations).
 
@@ -1238,6 +1263,11 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array)
     pen0, active0 = cs.pen, cs.active
     Am = pen0.shape[1]
     k, d = model.contact_stiffness, model.contact_damping
+    Q_ext = (
+        _external_generalized_force(model, frame, Sc, body_force)
+        if body_force is not None
+        else None
+    )
 
     # implicit coefficients frozen at the initial state (as in the full path,
     # including the depenetration-velocity cap and friction-coefficient cap)
@@ -1288,6 +1318,8 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array)
         qd = vel[:, 6:]
         tau_act = kp * (pd_target - q - dt * qd) - kd * qd
         tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
+        if body_force is not None:
+            tau = tau + Q_ext
 
         v_t1_i = v_m[:, :Am]
         v_t2_i = v_m[:, Am : 2 * Am]

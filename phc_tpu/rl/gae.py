@@ -7,18 +7,33 @@ XLA program as the rest of the update as a log-depth associative scan,
 vectorized over envs in the lane dimension — no device->host->device
 round trip and no T-step sequential loop.
 
-Two formulas:
-  * "reference" replicates the Cython kernel exactly *per env*:
-    delta[t] = r[t+1] + gamma*V[t+1]*(1-done[t+1]) - V[t], adv[T-1] = 0 —
-    an off-by-one vs the textbook (rewards/dones indexed at t+1; SURVEY.md
-    §7 'observable quirks'). Parity runs must use this.
-  * "textbook" is the standard CleanRL formulation:
-    delta[t] = r[t] + gamma*V[t+1]*(1-done[t]) - V[t] with V[T] = 0.
+ALIGNMENT (important, the r2 learning-collapse root cause): the reference's
+Cython kernel indexes `r[t+1] / done[t+1]` because its Experience rows are
+recv-aligned — row t holds the reward/done produced by the PREVIOUS step's
+action (`clean_pufferl/core.py:131-174`), so `r[t+1]` IS the reward of
+action t and the formula is semantically the textbook one. Our Trajectory
+is same-index aligned (rewards[t] is the reward of actions[t]), so the
+semantically-equivalent formula here is "textbook". Replicating the
+reference's index arithmetic on our arrays ("reference_raw") shifts credit
+by one step and — fatally — bootstraps the terminating action's delta from
+gamma*V(reset obs) of the NEXT episode, so early termination is rewarded
+instead of penalized (observed: termination rate never improves, reward
+decays after ~60 epochs at 4096 envs).
+
+Formulas:
+  * "textbook" (default, and the behavioral parity choice):
+    delta[t] = r[t] + gamma*V[t+1]*(1-done[t]) - V[t], with V[T] =
+    bootstrap_value (the value of the post-rollout obs, like CleanRL's
+    next_value; 0 if not provided). The reference instead zeroes the last
+    row's advantage because its last reward hasn't arrived yet — with
+    same-index storage we have it, so we use it.
+  * "reference_raw" replicates the Cython kernel's index arithmetic
+    verbatim per env — ONLY for numerical comparison against the
+    reference's kernel on recv-aligned inputs (tests/test_rl_core.py).
 
 Note the reference applies its kernel to one flat (env-major, step-minor)
 array, so env boundaries bleed a tiny amount of advantage between adjacent
-envs; we scan per env (the quirk preserved is the time indexing, not the
-boundary bleed).
+envs; we scan per env.
 """
 
 from __future__ import annotations
@@ -48,18 +63,21 @@ def _reverse_linear_recurrence(delta: jax.Array, coef: jax.Array) -> jax.Array:
 
 
 def compute_gae(
-    dones: jax.Array,  # (T, B) float or bool
-    values: jax.Array,  # (T, B)
-    rewards: jax.Array,  # (T, B)
+    dones: jax.Array,  # (T, B) float or bool — done of transition t (same-index)
+    values: jax.Array,  # (T, B) — V(obs[t])
+    rewards: jax.Array,  # (T, B) — reward of transition t (same-index)
     gamma: float,
     gae_lambda: float,
-    formula: str = "reference",
+    formula: str = "textbook",
+    bootstrap_value=None,  # (B,) V of the post-rollout obs (textbook only)
 ) -> jax.Array:
-    """Returns advantages (T, B)."""
+    """Returns advantages (T, B). See the module docstring for alignment."""
     dones = dones.astype(values.dtype)
 
-    if formula == "reference":
-        # delta[t] = r[t+1] + gamma V[t+1] (1 - d[t+1]) - V[t]; adv[T-1] = 0
+    if formula in ("reference", "reference_raw"):
+        # the reference Cython kernel's index arithmetic, verbatim:
+        # delta[t] = r[t+1] + gamma V[t+1] (1 - d[t+1]) - V[t]; adv[T-1] = 0.
+        # Correct ONLY for recv-aligned arrays (see module docstring).
         nextnonterminal = 1.0 - dones[1:]
         delta = rewards[1:] + gamma * values[1:] * nextnonterminal - values[:-1]
         adv = _reverse_linear_recurrence(delta, gamma * gae_lambda * nextnonterminal)
@@ -67,8 +85,11 @@ def compute_gae(
 
     if formula == "textbook":
         nextnonterminal = 1.0 - dones
-        next_values = jnp.concatenate([values[1:], jnp.zeros_like(values[:1])], axis=0)
-        # bootstrap cut at the end of the buffer (V[T] = 0 like the reference)
+        if bootstrap_value is None:
+            v_boot = jnp.zeros_like(values[:1])
+        else:
+            v_boot = bootstrap_value[None].astype(values.dtype)
+        next_values = jnp.concatenate([values[1:], v_boot], axis=0)
         delta = rewards + gamma * next_values * nextnonterminal - values
         adv = _reverse_linear_recurrence(delta, gamma * gae_lambda * nextnonterminal)
         return adv

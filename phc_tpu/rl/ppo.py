@@ -266,13 +266,23 @@ def collect_rollout(
     (env_state, last_obs, h, c, _), traj = jax.lax.scan(
         step_fn, init, None, length=ppo.rollout_steps
     )
+    # bootstrap value of the post-rollout obs (CleanRL's next_value), under
+    # the same params/norm the rollout values used — consumed by GAE so the
+    # window's tail bootstraps instead of being cut to zero
+    normed_last = running_norm.normalize(state.obs_norm, last_obs)
+    if ppo.use_lstm:
+        _, v_last_t, _ = ppo.policy.apply(state.params, normed_last[None], (c, h))
+        final_value = v_last_t[0]
+    else:
+        _, final_value = ppo.policy.apply(state.params, normed_last)
     stats = {
         "mean_reward": traj.rewards.mean(),
         "reward_raw": traj.reward_raw.mean(axis=(0, 1)),
         "termination_rate": traj.dones.mean(),
         "truncation_rate": traj.truncs.mean(),
     }
-    return RunnerState(env_state=env_state, obs=last_obs, lstm_h=h, lstm_c=c), traj, stats
+    runner = RunnerState(env_state=env_state, obs=last_obs, lstm_h=h, lstm_c=c)
+    return runner, traj, final_value, stats
 
 
 # ---------------------------------------------------------------------------
@@ -297,6 +307,7 @@ def update(
     traj: Trajectory,
     amp_demo: Optional[jax.Array] = None,
     pmean_axis: Optional[str] = None,
+    bootstrap_value: Optional[jax.Array] = None,
 ) -> Tuple[PPOState, dict]:
     """PPO update over update_epochs x num_minibatches, all under jit.
 
@@ -334,7 +345,13 @@ def update(
         amp_replay_filled = jnp.ones((), bool)
 
     advantages = compute_gae(
-        traj.dones, traj.values, rewards, cfg.gamma, cfg.gae_lambda, cfg.gae_formula
+        traj.dones,
+        traj.values,
+        rewards,
+        cfg.gamma,
+        cfg.gae_lambda,
+        cfg.gae_formula,
+        bootstrap_value=bootstrap_value,
     )
     returns = advantages + traj.values
 
@@ -563,7 +580,7 @@ def train_step(
         rollout_state = state._replace(rng=shard_rng)
     else:
         rollout_state = state
-    runner, traj, roll_stats = collect_rollout(ppo, data, rollout_state, runner)
+    runner, traj, final_value, roll_stats = collect_rollout(ppo, data, rollout_state, runner)
     if ppo.disc is not None:
         # fresh demo windows each epoch (original-PHC fetch_amp_obs_demo
         # behavior; see henv.sample_amp_obs_demo)
@@ -572,7 +589,9 @@ def train_step(
         )
     else:
         amp_demo = None
-    state, losses = update(ppo, state, traj, amp_demo=amp_demo, pmean_axis=pmean_axis)
+    state, losses = update(
+        ppo, state, traj, amp_demo=amp_demo, pmean_axis=pmean_axis, bootstrap_value=final_value
+    )
     if pmean_axis is not None:
         roll_stats = jax.tree_util.tree_map(lambda x: jax.lax.pmean(x, pmean_axis), roll_stats)
     return state, runner, {**losses, **roll_stats}

@@ -136,6 +136,11 @@ def mode_train(cfg: AppConfig):
         global_step = new_global
 
         loss_host = {k: float(np.asarray(v)) for k, v in losses.items() if np.asarray(v).ndim == 0}
+        # per-component imitation reward means (reference rew_body_pos/rot/
+        # lin_vel/ang_vel/power, clean_pufferl/env.py:148-157)
+        rr = np.asarray(losses.get("reward_raw", np.zeros(5)))
+        for i, name in enumerate(("rew_body_pos", "rew_body_rot", "rew_lin_vel", "rew_ang_vel", "rew_power")[: rr.shape[0]]):
+            loss_host[name] = float(rr[i])
         metrics_log.log(
             {
                 "epoch": epoch,
@@ -234,8 +239,8 @@ def mode_play(cfg: AppConfig):
     act_fn, carry = make_act_fn(cfg, ppo, state)
     n_dump = min(cfg.env.num_envs, 16)  # dump a gallery, not just env 0
 
-    def _play_step(d, s, a):
-        s, out = henv.step(env, d, s, a)
+    def _play_step(d, s, a, bf):
+        s, out = henv.step(env, d, s, a, body_force=bf)
         frame = forward_kinematics(env.model, s.physics)
         return s, out.obs, frame.pos[:n_dump]
 
@@ -243,10 +248,31 @@ def mode_play(cfg: AppConfig):
     rng, r = jax.random.split(rng)
     env_state, obs = jax.jit(lambda d, rr: henv.reset_all(env, d, rr))(data, r)
 
+    # scripted perturbation schedule (reference render_env projectiles)
+    pc = cfg.perturb
+    prng = np.random.default_rng(cfg.train.seed)
+    B, J = cfg.env.num_envs, env.num_bodies
+
+    cur = {"bf": np.zeros((B, J, 3), np.float32)}
+
+    def perturb_force(t: int) -> np.ndarray:
+        if pc.interval <= 0:
+            return cur["bf"]
+        if t % pc.interval == 0:  # new impact: one random body, random heading
+            bf = np.zeros((B, J, 3), np.float32)
+            body = prng.integers(0, J, size=B)
+            theta = prng.uniform(0, 2 * np.pi, size=B)
+            bf[np.arange(B), body] = pc.force * np.stack(
+                [np.cos(theta), np.sin(theta), np.zeros(B)], axis=-1
+            ).astype(np.float32)
+            cur["bf"] = bf
+        in_window = (t % pc.interval) < pc.duration
+        return cur["bf"] if in_window else np.zeros((B, J, 3), np.float32)
+
     frames = []
     for t in range(cfg.env.max_episode_length):
         actions, carry = act_fn(obs, carry)
-        env_state, obs, pos = step_j(data, env_state, actions)
+        env_state, obs, pos = step_j(data, env_state, actions, perturb_force(t))
         frames.append(np.asarray(pos))
     out_path = Path(cfg.train.data_dir) / cfg.exp_name / "play_rollout.npz"
     out_path.parent.mkdir(parents=True, exist_ok=True)

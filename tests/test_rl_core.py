@@ -57,6 +57,61 @@ def test_gae_textbook_formula():
     np.testing.assert_allclose(got, adv, atol=1e-5)
 
 
+def test_gae_textbook_with_bootstrap():
+    """The final step bootstraps from V(next obs), not zero."""
+    T, B = 8, 2
+    rng = np.random.default_rng(2)
+    dones = np.zeros((T, B), np.float32)
+    values = rng.normal(size=(T, B)).astype(np.float32)
+    rewards = rng.normal(size=(T, B)).astype(np.float32)
+    boot = rng.normal(size=(B,)).astype(np.float32)
+    got = np.asarray(
+        gae.compute_gae(
+            jnp.array(dones), jnp.array(values), jnp.array(rewards), 0.99, 0.95,
+            "textbook", bootstrap_value=jnp.array(boot),
+        )
+    )
+    adv = np.zeros((T, B), np.float32)
+    lastgaelam = np.zeros(B, np.float32)
+    for t in range(T - 1, -1, -1):
+        nextval = values[t + 1] if t + 1 < T else boot
+        delta = rewards[t] + 0.99 * nextval - values[t]
+        lastgaelam = delta + 0.99 * 0.95 * lastgaelam
+        adv[t] = lastgaelam
+    np.testing.assert_allclose(got, adv, atol=1e-5)
+
+
+def test_gae_terminal_credit_alignment():
+    """The r2 learning-collapse regression test: on same-index storage, the
+    TERMINATING action's advantage must include its own reward and must NOT
+    bootstrap from the next (post-reset) state's value. The raw reference
+    index arithmetic ('reference_raw') violates both on this alignment —
+    that is exactly why it is not the training default."""
+    T = 6
+    k = 3  # transition k terminates the episode
+    dones = np.zeros((T, 1), np.float32)
+    dones[k] = 1.0
+    rewards = np.full((T, 1), 0.1, np.float32)
+    rewards[k] = -5.0  # distinctive terminal reward
+    values = np.zeros((T, 1), np.float32)
+    values[k + 1] = 100.0  # juicy post-reset value — must NOT leak into adv[k]
+
+    adv = np.asarray(
+        gae.compute_gae(jnp.array(dones), jnp.array(values), jnp.array(rewards), 0.98, 0.2, "textbook")
+    )[:, 0]
+    # terminal action: adv[k] = r[k] - V[k], no bootstrap across the reset
+    np.testing.assert_allclose(adv[k], -5.0, atol=1e-5)
+    assert abs(adv[k] - (-5.0)) < 1e-4
+    # and the step before it sees the terminal reward through the recurrence
+    assert adv[k - 1] < 0.0
+
+    # the raw-index formula on this (same-index) alignment does leak:
+    adv_raw = np.asarray(
+        gae.compute_gae(jnp.array(dones), jnp.array(values), jnp.array(rewards), 0.98, 0.2, "reference_raw")
+    )[:, 0]
+    assert adv_raw[k] > 50.0  # gets the post-reset V — the bug this guards against
+
+
 def test_running_norm_update_matches_reference_ema():
     rng = np.random.default_rng(2)
     st = running_norm.init(5)

@@ -77,7 +77,7 @@ def test_ratio_clamp_survives_extreme_logratio():
     _, data, env, ppo = make_setup()
     state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
     runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
-    runner, traj, _ = ppo_mod.collect_rollout(ppo, data, state, runner)
+    runner, traj, _, _ = ppo_mod.collect_rollout(ppo, data, state, runner)
     traj = traj._replace(logprobs=traj.logprobs - 1000.0)
     new_state, losses = ppo_mod.update(ppo, state, traj)
     assert _params_finite(new_state.params)
@@ -91,12 +91,43 @@ def test_nonfinite_grad_guard_skips_minibatch():
     _, data, env, ppo = make_setup()
     state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
     runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
-    runner, traj, _ = ppo_mod.collect_rollout(ppo, data, state, runner)
+    runner, traj, _, _ = ppo_mod.collect_rollout(ppo, data, state, runner)
     bad_obs = traj.obs.at[0, 0, 0].set(jnp.nan)
     traj = traj._replace(obs=bad_obs)
     new_state, losses = ppo_mod.update(ppo, state, traj)
     assert _params_finite(new_state.params)
     assert float(losses["nonfinite_grad_skips"]) > 0.0
+
+
+def test_external_body_force():
+    """Perturbation forces (reference render_env projectiles): an upward
+    force exceeding gravity at the root lifts the humanoid; a lateral force
+    at the head accelerates it sideways; zero force matches the force-free
+    program."""
+    _, data, env, _ = make_setup()
+    st = phys_engine.default_state(env.model, 2, height=1.2)  # airborne: no contacts
+    hold = phys_engine.dof_positions(st)
+
+    total_mass = float(env.model.mass.sum())
+    bf = jnp.zeros((2, env.model.num_bodies, 3))
+    bf = bf.at[0, 0, 2].set(2.0 * 9.81 * total_mass)  # 2g up at the pelvis, env 0
+
+    out_f, _ = phys_engine.step(env.model, st, hold, bf)
+    out_0, _ = phys_engine.step(env.model, st, hold, jnp.zeros_like(bf))
+    out_n, _ = phys_engine.step(env.model, st, hold)
+
+    # env 0 accelerates upward (net +g), env 1 falls (-g)
+    assert float(out_f.vel[0, 2]) > 0.1
+    assert float(out_f.vel[1, 2]) < -0.1
+    # zero force == no-force program
+    np.testing.assert_allclose(np.asarray(out_0.vel), np.asarray(out_n.vel), atol=1e-5)
+
+    # torque consistency: a lateral force at the head spins/translates more
+    # than the same force at the root would for the head's ancestors only
+    head = env.model.body_names.index("Head")
+    bf2 = jnp.zeros((2, env.model.num_bodies, 3)).at[:, head, 0].set(500.0)
+    out_h, _ = phys_engine.step(env.model, st, hold, bf2)
+    assert float(jnp.abs(out_h.vel[:, 0]).min()) > 0.01  # gained x velocity
 
 
 def test_lr_decay_schedule_value():
