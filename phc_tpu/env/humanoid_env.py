@@ -70,6 +70,7 @@ class StepOutput(NamedTuple):
     reward_raw: jax.Array  # (B, 5) [pos, rot, vel, ang_vel, power]
     amp_obs: jax.Array  # (B, S*A) flattened AMP window (zeros if disabled)
     mpjpe: jax.Array  # (B,) mean per-joint position error this step (meters)
+    diverged: jax.Array  # (B,) bool: nonfinite-physics guard fired (forced reset)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -566,6 +567,7 @@ def step(
         reward_raw=reward_raw,
         amp_obs=amp_flat,
         mpjpe=mpjpe,
+        diverged=bad,
     )
     return new_state, out
 

@@ -1159,7 +1159,16 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
             [-c_t * cs.v_t1, -c_t * cs.v_t2, k * pen_f * active - c_n * cs.v_n], axis=-1
         )
         Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_CPREC)
-        lhs = lhs + dt * jnp.einsum("bnm,bm,bkm->bnk", cs.Jm, coef_m, cs.Jm, precision=_CPREC)
+        # Gram-factored implicit term: LHS += W W^T with W = J sqrt(dt c).
+        # A Gram matrix of the bf16-rounded factor is exactly PSD under
+        # fp32 accumulation, so the Cholesky never sees an indefinite LHS
+        # even with stiction coefficients up to friction_coef_max=1e5 —
+        # assembling dt*J diag(c) J^T directly in one bf16 pass put ~1%
+        # relative error (absolute ~8 at c=1e5) on entries that sit next to
+        # O(0.1) mass terms and produced NaN factorizations (the phantom
+        # every-7-steps force-resets chased in experiments/pd_hold.py).
+        W = cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :]
+        lhs = lhs + jnp.einsum("bnm,bkm->bnk", W, W, precision=_CPREC)
     else:
         Q_contact = jnp.zeros((B, N))
 
@@ -1283,7 +1292,10 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
 
     kd_full = np.concatenate([np.zeros(6, np.float32), model.kd])
     lhs = M + jnp.asarray(np.diag(dt * kd_full)[None])
-    lhs = lhs + dt * jnp.einsum("bnm,bm,bkm->bnk", cs.Jm, coef_m, cs.Jm, precision=_CPREC)
+    # Gram-factored SPD assembly (see _physics_substep): exactly PSD under
+    # bf16 rounding, unlike the direct dt*J diag(c) J^T einsum.
+    W = cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :]
+    lhs = lhs + jnp.einsum("bnm,bkm->bnk", W, W, precision=_CPREC)
 
     solver = model.solver
     if solver == "auto":

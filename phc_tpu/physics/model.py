@@ -62,7 +62,15 @@ class PhysicsModel:
     substeps: int = 2  # physics steps per control step (30 Hz control)
     contact_stiffness: float = 2.0e4
     contact_damping: float = 6.0e2
-    contact_vel_eps: float = 0.1  # smooth Coulomb regularization (m/s)
+    # Smooth Coulomb regularization: tangential force is
+    # -min(mu*N/(|v_t|+eps), coef_max) * v_t. eps sets the stiction slip
+    # scale — at 0.1 m/s a 200 N push-off needed ~10 cm/s of foot slip and
+    # walk initiation was impossible (oracle-tracking diverged 3.4x faster
+    # than the same pose replayed in MuJoCo, experiments/mj_pd_hold.py).
+    # 5 mm/s brings steady-slip under full push-off to ~2 mm/s (coef_max
+    # binds). Stable because the friction coefficient rides the implicit
+    # LHS (engine `dt * J^T c J`), not the explicit force.
+    contact_vel_eps: float = 0.005  # smooth Coulomb regularization (m/s)
     # Stability caps, PhysX-parity (the reference steps PhysX with
     # max_depenetration_velocity=10 m/s, `envs/isaacgym_env.py:22`, and
     # PhysX articulation links carry a 64 rad/s default velocity cap).
@@ -73,7 +81,7 @@ class PhysicsModel:
     # bind, so MuJoCo-pinned dynamics tests are unaffected.
     max_depenetration_velocity: float = 10.0  # caps k*pen restoring velocity
     max_velocity: float = 64.0  # hard |v| cap per generalized coordinate
-    friction_coef_max: float = 1.0e4  # cap on the regularized Coulomb coeff
+    friction_coef_max: float = 1.0e5  # cap on the regularized Coulomb coeff
     # contact compaction: per env, only the max_contacts deepest-penetrating
     # candidates (of the ~310 static ground points + self-collision pairs)
     # get Jacobian rows each substep. Exact whenever <= max_contacts are

@@ -48,6 +48,7 @@ class Trajectory(NamedTuple):
     truncs: jax.Array
     amp_obs: jax.Array
     reward_raw: jax.Array  # (T, B, 5)
+    diverged: jax.Array  # (T, B) nonfinite-guard triggers (diagnostic)
     lstm_h: jax.Array  # (T, B, H) critic-LSTM hidden at step entry (H=1 if MLP)
     lstm_c: jax.Array  # (T, B, H)
 
@@ -252,6 +253,7 @@ def collect_rollout(
             truncs=out.truncated.astype(jnp.float32),
             amp_obs=out.amp_obs,
             reward_raw=out.reward_raw,
+            diverged=out.diverged.astype(jnp.float32),
             lstm_h=h,
             lstm_c=c,
         )
@@ -280,6 +282,10 @@ def collect_rollout(
         "reward_raw": traj.reward_raw.mean(axis=(0, 1)),
         "termination_rate": traj.dones.mean(),
         "truncation_rate": traj.truncs.mean(),
+        # nonfinite-physics guard triggers: must stay 0.0 in a healthy run
+        # (nonzero means forced resets are polluting terminations — the
+        # failure mode behind the r2 bf16-LHS bug, see engine.py Gram note)
+        "diverged_rate": traj.diverged.mean(),
     }
     runner = RunnerState(env_state=env_state, obs=last_obs, lstm_h=h, lstm_c=c)
     return runner, traj, final_value, stats

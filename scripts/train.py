@@ -128,17 +128,21 @@ def mode_train(cfg: AppConfig):
             state, runner, losses = train_step(data, state, runner)
             # block_until_ready is a no-op on the axon tunnel; a scalar
             # fetch is the only way to wait for the step (and what we'd
-            # log anyway)
-            new_global = float(np.asarray(state.global_step))
+            # log anyway). One batched device_get (async transfers for
+            # every leaf, single drain) instead of per-scalar fetches —
+            # each scalar fetch is a full tunnel round-trip and ~20 of
+            # them cost more than the train step itself.
+            global_host, losses_host = jax.device_get((state.global_step, losses))
+            new_global = float(global_host)
 
         epoch += 1
         profile.total_steps += new_global - global_step
         global_step = new_global
 
-        loss_host = {k: float(np.asarray(v)) for k, v in losses.items() if np.asarray(v).ndim == 0}
+        loss_host = {k: float(v) for k, v in losses_host.items() if np.ndim(v) == 0}
         # per-component imitation reward means (reference rew_body_pos/rot/
         # lin_vel/ang_vel/power, clean_pufferl/env.py:148-157)
-        rr = np.asarray(losses.get("reward_raw", np.zeros(5)))
+        rr = np.asarray(losses_host.get("reward_raw", np.zeros(5)))
         for i, name in enumerate(("rew_body_pos", "rew_body_rot", "rew_lin_vel", "rew_ang_vel", "rew_power")[: rr.shape[0]]):
             loss_host[name] = float(rr[i])
         metrics_log.log(
