@@ -208,3 +208,81 @@ def test_config_flag_wiring():
     st, _ = henv.reset_all(env_f, data, jax.random.PRNGKey(0))
     _, out = henv.step(env_f, data, st, jnp.zeros((4, env_f.num_dofs)))
     assert bool(jnp.isfinite(out.reward).all())
+
+
+def test_contact_lhs_gram_assembly_is_psd_under_bf16():
+    """The contact-implicit LHS must stay SPD when the Gram factor is
+    rounded to bf16 (the TPU matmul input precision). Assembling
+    dt*J diag(c) J^T directly in bf16 made the LHS indefinite at stiction
+    coefficients ~1e5 -> NaN Cholesky -> silent forced resets every ~7
+    steps (the r2 phantom-termination bug). The Gram form W W^T with
+    W = J sqrt(dt*c) is PSD by construction for ANY rounding of W."""
+    rng = np.random.default_rng(0)
+    B, N, M = 4, 75, 126
+    J = rng.normal(size=(B, N, M)).astype(np.float32)
+    coef = (10.0 ** rng.uniform(0, 5, size=(B, M))).astype(np.float32)  # up to 1e5
+    dt = 1.0 / 120.0
+    W = jnp.asarray(J) * jnp.sqrt(dt * jnp.asarray(coef))[:, None, :]
+    W_bf16 = W.astype(jnp.bfloat16).astype(jnp.float32)  # emulate MXU input rounding
+    gram = jnp.einsum("bnm,bkm->bnk", W_bf16, W_bf16)
+    eig = np.linalg.eigvalsh(np.asarray(gram))
+    # PSD up to fp32 accumulation noise relative to the matrix scale
+    assert eig.min() > -1e-4 * np.abs(eig).max()
+
+
+def test_pd_hold_no_phantom_resets():
+    """Holding the clip's first-frame pose must produce NO diverged-guard
+    triggers and no termination for at least 10 control steps (open-loop
+    tipping legitimately terminates around step ~24; the bf16-LHS bug
+    force-reset every 7). End-to-end pin of the Gram-factored assembly +
+    stiff-stiction model defaults (experiments/pd_hold.py distilled)."""
+    from phc_tpu.motionlib import get_motion_state
+
+    lib, data, env, _ = make_setup()
+    env = henv.make_env(
+        EnvConfig(num_envs=B, motion_file=SAMPLE_PKL), motion_ids=np.zeros(B, np.int64), eval_mode=True
+    )
+    state, _ = henv.reset_all(env, data, jax.random.PRNGKey(0))
+    ref0 = get_motion_state(data, jnp.zeros(B, jnp.int32), jnp.zeros(B))
+    a_hold = (ref0.dof_pos - jnp.asarray(env.pd_offset)) / jnp.asarray(env.pd_scale)
+
+    step_j = jax.jit(lambda s: henv.step(env, data, s, a_hold))
+    for t in range(10):
+        state, out = step_j(state)
+        assert not bool(out.diverged.any()), f"diverged guard fired at step {t}"
+        assert not bool(out.terminated.any()), f"phantom termination at step {t}"
+
+
+def test_static_friction_no_foot_slip():
+    """Stiction regression: under a 200 N lateral pelvis push (below the
+    ~440 N mu*N budget of a standing humanoid), the stiff regularization
+    (vel_eps=0.005, coef cap 1e5) must slide the FEET far less than the old
+    soft one (vel_eps=0.1, cap 1e4) that made walk-initiation push-off
+    unlearnable. Relative comparison because the push also tips/rolls the
+    body, which moves foot origins without true contact-point slip."""
+    import dataclasses as dc
+
+    from phc_tpu.motionlib import get_motion_state
+    from phc_tpu.physics import forward_kinematics
+    from phc_tpu.body_sets import BODY_NAMES
+
+    lib, data, env, _ = make_setup()
+    ref0 = get_motion_state(data, jnp.zeros(B, jnp.int32), jnp.zeros(B))
+    hold = ref0.dof_pos
+    state0 = henv._ref_physics_state(ref0)
+    bf = jnp.zeros((B, env.model.num_bodies, 3)).at[:, 0, 0].set(200.0)
+    feet = [BODY_NAMES.index(n) for n in ("L_Ankle", "R_Ankle", "L_Toe", "R_Toe")]
+
+    def drift(model):
+        st = state0
+        p0 = np.asarray(forward_kinematics(model, st).pos)[0, feet, :2]
+        step_j = jax.jit(lambda s: phys_engine.step(model, s, hold, bf)[0])
+        for _ in range(8):
+            st = step_j(st)
+        p1 = np.asarray(forward_kinematics(model, st).pos)[0, feet, :2]
+        return float(np.linalg.norm(p1 - p0, axis=-1).max())
+
+    soft = dc.replace(env.model, contact_vel_eps=0.1, friction_coef_max=1.0e4)
+    d_new, d_old = drift(env.model), drift(soft)
+    assert d_new < 0.6 * d_old, f"stiff stiction ({d_new:.3f} m) not better than soft ({d_old:.3f} m)"
+    assert d_new < 0.06, f"feet moved {d_new:.3f} m under a sub-stiction lateral load"
