@@ -88,6 +88,15 @@ class EnvConfig:
 
     auto_pmcp: bool = False
     auto_pmcp_soft: bool = True
+    # Time-window failure curriculum (phc_tpu extension; off = reference
+    # parity). PMCP reweights whole motions, which cannot target a hard
+    # SEGMENT of a motion (e.g. the sample clip's high kick). When on,
+    # reset times are drawn from a per-(env, phase-bin) mix of uniform and
+    # the in-jit termination-phase EMA (humanoid_env.EnvState.phase_fail).
+    phase_curriculum: bool = False
+    phase_bins: int = 16
+    phase_curriculum_alpha: float = 0.7  # weight on the failure histogram
+    phase_fail_decay: float = 0.999  # per-control-step EMA decay (~21-epoch half-life)
 
     kp_scale: float = 1.0
     kd_scale: float = 1.0

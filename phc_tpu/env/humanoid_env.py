@@ -59,6 +59,11 @@ class EnvState(NamedTuple):
     amp_obs_hist: jax.Array  # (B, S, A) AMP obs ring, [:, 0] = newest
     amp_obs_demo: jax.Array  # (B, S, A) demo AMP windows for the discriminator
     rng: jax.Array  # (B, 2) per-env PRNG keys (shards over the data axis)
+    phase_fail: jax.Array  # (B, K) EMA of termination counts per motion-phase
+    #   bin — drives the time-window failure curriculum (phc_tpu extension
+    #   beyond the reference's per-motion PMCP, which is a no-op within one
+    #   motion). Each env imitates a fixed motion, so a per-env table IS the
+    #   per-(motion, phase) table and shards trivially with the batch.
 
 
 class StepOutput(NamedTuple):
@@ -202,16 +207,34 @@ def _default_physics_state(env: HumanoidEnv, batch: int, keys: jax.Array) -> Phy
     return st._replace(root_pos=st.root_pos.at[:, :2].add(xy))
 
 
-def _sample_reset_times(env: HumanoidEnv, data: MotionData, keys: jax.Array, motion_ids) -> jax.Array:
-    """keys: (B, 2) per-env PRNG keys."""
+def _sample_reset_times(
+    env: HumanoidEnv, data: MotionData, keys: jax.Array, motion_ids, phase_fail=None
+) -> jax.Array:
+    """keys: (B, 2) per-env PRNG keys. phase_fail: optional (B, K) failure
+    EMA enabling the time-window curriculum (see EnvState.phase_fail)."""
     cfg = env.cfg
     if env.eval_mode or cfg.state_init == StateInit.Start:
         return jnp.zeros(motion_ids.shape, jnp.float32)
-    # Random / Hybrid: grid-snapped random phase (reference `_sample_time`
-    # humanoid_phc.py:838-841), one independent stream per env
-    phase = jax.vmap(lambda k: jax.random.uniform(k))(keys)
     lengths = data.motion_lengths[motion_ids]
     dt = 1.0 / 30.0
+    u = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(keys)  # (B, 2)
+    if cfg.phase_curriculum and phase_fail is not None:
+        # mix uniform with the failure histogram: bin ~ Categorical(
+        # (1-a)/K + a * normalize(fail)), then uniform within the bin.
+        # Inverse-CDF keeps it one cumsum + compare (K is tiny).
+        K = phase_fail.shape[-1]
+        w = phase_fail + 1e-6
+        w = (1.0 - cfg.phase_curriculum_alpha) / K + cfg.phase_curriculum_alpha * (
+            w / w.sum(axis=-1, keepdims=True)
+        )
+        cdf = jnp.cumsum(w, axis=-1)
+        cdf = cdf / cdf[:, -1:]
+        bins = (u[:, 0:1] > cdf).sum(axis=-1)  # (B,) in [0, K)
+        phase = (bins.astype(jnp.float32) + u[:, 1]) / K
+    else:
+        # parity path: grid-snapped uniform phase (reference `_sample_time`
+        # humanoid_phc.py:838-841), one independent stream per env
+        phase = u[:, 0]
     return jnp.floor(phase * lengths / dt) * dt
 
 
@@ -361,6 +384,7 @@ def reset_all(
         amp_obs_hist=amp_hist,
         amp_obs_demo=amp_demo,
         rng=env_keys,
+        phase_fail=jnp.zeros((B, env.cfg.phase_bins)),
     )
 
     frame = forward_kinematics(env.model, physics)
@@ -494,8 +518,24 @@ def step(
     mpjpe = jnp.linalg.norm(frame.pos - ref.rg_pos, axis=-1).mean(axis=-1)
     mpjpe = jnp.where(bad, 10.0, mpjpe)
 
+    # ---- failure-phase curriculum table (pure elementwise, no scatter:
+    # per-env one-hot over K bins on the VPU) --------------------------------
+    if cfg.phase_curriculum:
+        K = cfg.phase_bins
+        lengths_cur = data.motion_lengths[motion_ids]
+        bins = jnp.clip(
+            (motion_times / jnp.maximum(lengths_cur, 1e-6) * K).astype(jnp.int32), 0, K - 1
+        )
+        onehot = jax.nn.one_hot(bins, K)
+        phase_fail = (
+            state.phase_fail * cfg.phase_fail_decay
+            + onehot * terminated.astype(jnp.float32)[:, None]
+        )
+    else:
+        phase_fail = state.phase_fail
+
     # ---- masked auto-reset --------------------------------------------------
-    new_times = _sample_reset_times(env, data, r_time, motion_ids)
+    new_times = _sample_reset_times(env, data, r_time, motion_ids, phase_fail)
     ref_new = get_motion_state(data, motion_ids, new_times)
     reset_physics = _ref_physics_state(ref_new)
     if cfg.state_init == StateInit.Default:
@@ -557,6 +597,7 @@ def step(
         amp_obs_hist=amp_hist,
         amp_obs_demo=amp_demo,
         rng=env_keys,
+        phase_fail=phase_fail,
     )
     out = StepOutput(
         obs=obs,

@@ -286,3 +286,74 @@ def test_static_friction_no_foot_slip():
     d_new, d_old = drift(env.model), drift(soft)
     assert d_new < 0.6 * d_old, f"stiff stiction ({d_new:.3f} m) not better than soft ({d_old:.3f} m)"
     assert d_new < 0.06, f"feet moved {d_new:.3f} m under a sub-stiction lateral load"
+
+
+def test_phase_curriculum_targets_failure_window():
+    """Time-window curriculum: terminations concentrated at one motion
+    phase must tilt reset-time sampling toward that phase (phc_tpu
+    extension; `phase_curriculum=False` keeps reference-parity uniform)."""
+    import dataclasses as dc
+
+    env_cfg = EnvConfig(
+        num_envs=B, motion_file=SAMPLE_PKL, phase_curriculum=True,
+        phase_bins=8, phase_curriculum_alpha=0.8,
+    )
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=1.0 / 30.0)
+    data = lib.load_motions(num_motions=B)
+    env = henv.make_env(env_cfg, motion_ids=np.zeros(B, np.int64))
+
+    # a failure EMA spiked in bin 5
+    fail = jnp.zeros((B, 8)).at[:, 5].set(10.0)
+    lengths = np.asarray(data.motion_lengths)[:B]
+    hits = 0
+    total = 0
+    for i in range(32):
+        ks = jax.random.split(jax.random.PRNGKey(i), B)
+        times = henv._sample_reset_times(
+            env, data, ks, jnp.arange(B, dtype=jnp.int32) % data.num_motions, fail
+        )
+        phase = np.asarray(times) / lengths
+        hits += int(((phase >= 5 / 8) & (phase < 6 / 8)).sum())
+        total += B
+    frac = hits / total
+    # expected ~ 0.8 + 0.2/8 = 0.825; uniform would give 0.125
+    assert frac > 0.5, f"curriculum put only {frac:.2f} of resets in the hot bin"
+
+    # parity path must remain uniform-ish when the flag is off
+    env_off = henv.make_env(
+        dc.replace(env_cfg, phase_curriculum=False), motion_ids=np.zeros(B, np.int64)
+    )
+    hits = total = 0
+    for i in range(32):
+        ks = jax.random.split(jax.random.PRNGKey(100 + i), B)
+        times = henv._sample_reset_times(
+            env_off, data, ks, jnp.arange(B, dtype=jnp.int32) % data.num_motions, fail
+        )
+        phase = np.asarray(times) / lengths
+        hits += int(((phase >= 5 / 8) & (phase < 6 / 8)).sum())
+        total += B
+    assert hits / total < 0.35
+
+
+def test_phase_fail_ema_accumulates_at_termination_phase():
+    """The in-jit EMA must gain mass in the bin where a termination
+    happened and decay elsewhere."""
+    env_cfg = EnvConfig(num_envs=B, motion_file=SAMPLE_PKL, phase_curriculum=True, phase_bins=8)
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=1.0 / 30.0)
+    data = lib.load_motions(num_motions=B)
+    env = henv.make_env(env_cfg, motion_ids=np.zeros(B, np.int64))
+    state, obs = henv.reset_all(env, data, jax.random.PRNGKey(0))
+    # force guaranteed termination by teleporting far from the reference
+    bad_phys = state.physics._replace(root_pos=state.physics.root_pos + 100.0)
+    state = state._replace(
+        physics=bad_phys, progress=jnp.full(B, 40, jnp.int32),
+        motion_times_start=jnp.zeros(B),
+    )
+    state2, out = jax.jit(lambda s: henv.step(env, data, s, jnp.zeros((B, env.num_dofs))))(state)
+    assert bool(out.terminated.all())
+    ema = np.asarray(state2.phase_fail)
+    assert (ema.sum(axis=-1) > 0.9).all()
+    # the hit bin corresponds to progress*dt/length
+    t = 41.0 / 30.0
+    k = int(t / float(np.asarray(data.motion_lengths)[0]) * 8)
+    assert (ema.argmax(axis=-1) == k).all()
