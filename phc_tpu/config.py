@@ -97,6 +97,10 @@ class EnvConfig:
     phase_bins: int = 16
     phase_curriculum_alpha: float = 0.7  # weight on the failure histogram
     phase_fail_decay: float = 0.999  # per-control-step EMA decay (~21-epoch half-life)
+    # seconds subtracted from the termination time before phase-binning, so
+    # curriculum resets start upstream of the failure (the distance check
+    # fires a drift-detection delay after the hard segment begins)
+    phase_curriculum_lead: float = 0.3
 
     kp_scale: float = 1.0
     kd_scale: float = 1.0
@@ -142,12 +146,6 @@ class PolicyConfig:
     # with use_lstm: "critic" = LSTM critic + MLP actor (lstm_policy.py:25-87),
     # "actor" = LSTM actor + MLP critic (lstm_policy.py:91-148)
     lstm_variant: str = "critic"
-
-
-@dataclass
-class RNNConfig:
-    input_size: int = 512
-    hidden_size: int = 512
 
 
 @dataclass
@@ -246,7 +244,6 @@ class AppConfig:
     perturb: PerturbConfig = field(default_factory=PerturbConfig)
     env: EnvConfig = field(default_factory=EnvConfig)
     policy: PolicyConfig = field(default_factory=PolicyConfig)
-    rnn: RNNConfig = field(default_factory=RNNConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     sweep: SweepConfig = field(default_factory=SweepConfig)

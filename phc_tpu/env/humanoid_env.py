@@ -523,14 +523,19 @@ def step(
     if cfg.phase_curriculum:
         K = cfg.phase_bins
         lengths_cur = data.motion_lengths[motion_ids]
+        # Bin at (motion_times - lead): the termination-distance check fires
+        # a drift-detection delay AFTER the hard segment begins, so without
+        # the lead, curriculum resets would land at/after the unrecoverable
+        # point. The lead places resets upstream of the failure window.
+        fail_times = jnp.maximum(motion_times - cfg.phase_curriculum_lead, 0.0)
         bins = jnp.clip(
-            (motion_times / jnp.maximum(lengths_cur, 1e-6) * K).astype(jnp.int32), 0, K - 1
+            (fail_times / jnp.maximum(lengths_cur, 1e-6) * K).astype(jnp.int32), 0, K - 1
         )
         onehot = jax.nn.one_hot(bins, K)
-        phase_fail = (
-            state.phase_fail * cfg.phase_fail_decay
-            + onehot * terminated.astype(jnp.float32)[:, None]
-        )
+        # only genuine tracking failures drive the curriculum — nonfinite-
+        # physics forced resets (`bad`) are numeric events, not policy ones
+        policy_fail = (terminated & ~bad).astype(jnp.float32)
+        phase_fail = state.phase_fail * cfg.phase_fail_decay + onehot * policy_fail[:, None]
     else:
         phase_fail = state.phase_fail
 
@@ -620,10 +625,12 @@ def fetch_amp_obs_demo(env: HumanoidEnv, state: EnvState) -> jax.Array:
     return state.amp_obs_demo.reshape(state.amp_obs_demo.shape[0], -1)
 
 
-def sample_amp_obs_demo(
-    env: HumanoidEnv, data: MotionData, rng: jax.Array, batch: int
+def sample_amp_obs_demo_keyed(
+    env: HumanoidEnv, data: MotionData, env_keys: jax.Array
 ) -> jax.Array:
-    """FRESH demo AMP windows: new (motion, time) samples every call.
+    """FRESH demo AMP windows, one per key: new (motion, time) samples every
+    call. env_keys: (batch, 2) per-row PRNG keys — per-row derivation makes
+    the demo set invariant to data sharding (DP equivalence).
 
     The reference fork's demo buffer only refreshes on env resets
     (`humanoid_phc.py:813-817`), so the discriminator's positive
@@ -635,11 +642,18 @@ def sample_amp_obs_demo(
     """
     S = env.cfg.num_amp_obs_steps
     dt = env.control_dt
-    r_id, r_t = jax.random.split(rng)
-    ids = jax.random.randint(r_id, (batch,), 0, data.num_motions).astype(jnp.int32)
+    batch = env_keys.shape[0]
+    u2 = jax.vmap(lambda k: jax.random.uniform(k, (2,)))(env_keys)  # (B, 2)
+    ids = jnp.minimum((u2[:, 0] * data.num_motions).astype(jnp.int32), data.num_motions - 1)
     lengths = data.motion_lengths[ids]
     trunc = dt * (S - 1)
-    u = jax.random.uniform(r_t, (batch,))
-    times = jnp.minimum(trunc + u * jnp.maximum(lengths - trunc, 0.0), lengths)
+    times = jnp.minimum(trunc + u2[:, 1] * jnp.maximum(lengths - trunc, 0.0), lengths)
     window = _amp_window_from_motion(env, data, ids, times)
     return window.reshape(batch, -1)
+
+
+def sample_amp_obs_demo(
+    env: HumanoidEnv, data: MotionData, rng: jax.Array, batch: int
+) -> jax.Array:
+    """Single-key convenience wrapper over `sample_amp_obs_demo_keyed`."""
+    return sample_amp_obs_demo_keyed(env, data, jax.random.split(rng, batch))

@@ -246,6 +246,12 @@ class MotionLib:
     def motion_keys(self) -> np.ndarray:
         return self._motion_keys
 
+    @property
+    def unique_motion_frames(self) -> np.ndarray:
+        """Frame count of every unique clip in the dataset (pre-crop) — the
+        public accessor behind eval batch planning (plan_eval_capacity)."""
+        return np.array([len(c["pose_quat_global"]) for c in self._motion_clips])
+
     # -- sampling / curriculum (PMCP) ------------------------------------
 
     def sample_indices(self, n: int, random_sample: bool = True, start_idx: int = 0) -> np.ndarray:

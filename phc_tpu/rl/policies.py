@@ -203,6 +203,16 @@ def sample_action(rng: jax.Array, mu: jax.Array, std: jax.Array) -> jax.Array:
     return mu + std * jax.random.normal(rng, mu.shape)
 
 
+def sample_action_per_env(env_keys: jax.Array, mu: jax.Array, std: jax.Array) -> jax.Array:
+    """Sample with one PRNG key per env (env_keys: (B, 2), mu: (B, A)).
+
+    Drawing each env's noise from its own stream makes the rollout invariant
+    to data sharding: shard_map over the batch sees the same noise per env
+    as a single-device run (the DP equivalence contract)."""
+    noise = jax.vmap(lambda k, m: jax.random.normal(k, m.shape))(env_keys, mu)
+    return mu + std * noise
+
+
 def gaussian_logprob(mu: jax.Array, std: jax.Array, action: jax.Array) -> jax.Array:
     """Sum of per-dim Normal log-probs (pufferlib uses Normal(mu, std) with
     independent dims, `clean_pufferl/core.py:158`)."""

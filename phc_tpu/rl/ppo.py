@@ -208,28 +208,40 @@ def init_runner(ppo: PPO, data, rng: jax.Array) -> RunnerState:
 # ---------------------------------------------------------------------------
 
 
-def policy_forward(ppo: PPO, params, obs_norm: RunningNormState, obs, rng, deterministic=False):
+def policy_forward(ppo: PPO, params, obs_norm: RunningNormState, obs, env_keys, deterministic=False):
+    """env_keys: (B, 2) per-env PRNG keys — action noise is drawn from each
+    env's own stream, so the rollout is invariant to how the batch is
+    sharded across devices (the basis of the DP=N == DP=1 equivalence)."""
     normed = running_norm.normalize(obs_norm, obs)
     mu, value = ppo.policy.apply(params, normed)
     std = policies.action_std(ppo.env.num_dofs, deterministic)
-    action = policies.sample_action(rng, mu, std)
+    action = policies.sample_action_per_env(env_keys, mu, std)
     logp = policies.gaussian_logprob(mu, std, action)
     return action, logp, value, mu
 
 
 def collect_rollout(
     ppo: PPO, data, state: PPOState, runner: RunnerState
-) -> Tuple[RunnerState, Trajectory, dict]:
-    """lax.scan of T policy+env steps. Returns (runner, traj, stats).
+) -> Tuple[RunnerState, Trajectory, jax.Array, dict]:
+    """lax.scan of T policy+env steps.
 
-    With the LSTM critic, the hidden state carried across steps is zeroed
-    for done envs (reference `core.py:149-157`) and the carry at each step's
-    entry is stored for BPTT segment initialization in the update.
+    Returns (runner, traj, final_value, stats): the post-rollout runner, the
+    time-major trajectory, the bootstrap value of the post-rollout obs, and
+    scalar rollout statistics.
+
+    Action noise comes from each env's own PRNG stream (EnvState.rng), not
+    a batch-level key — the rollout is therefore bit-identical under any
+    data sharding of the env batch. With the LSTM critic, the hidden state
+    carried across steps is zeroed for done envs (reference `core.py:149-157`)
+    and the carry at each step's entry is stored for BPTT segment
+    initialization in the update.
     """
 
     def step_fn(carry, _):
-        env_state, obs, h, c, rng = carry
-        rng, r_act = jax.random.split(rng)
+        env_state, obs, h, c = carry
+        ks = jax.vmap(lambda k: jax.random.split(k))(env_state.rng)  # (B, 2, 2)
+        act_keys = ks[:, 0]
+        env_state = env_state._replace(rng=ks[:, 1])
         if ppo.use_lstm:
             normed = running_norm.normalize(state.obs_norm, obs)
             mu_t, value_t, (new_c, new_h) = ppo.policy.apply(
@@ -237,10 +249,12 @@ def collect_rollout(
             )
             mu, value = mu_t[0], value_t[0]
             std = policies.action_std(ppo.env.num_dofs)
-            action = policies.sample_action(r_act, mu, std)
+            action = policies.sample_action_per_env(act_keys, mu, std)
             logp = policies.gaussian_logprob(mu, std, action)
         else:
-            action, logp, value, _ = policy_forward(ppo, state.params, state.obs_norm, obs, r_act)
+            action, logp, value, _ = policy_forward(
+                ppo, state.params, state.obs_norm, obs, act_keys
+            )
             new_h, new_c = h, c
         env_state, out = henv.step(ppo.env, data, env_state, action)
         traj = Trajectory(
@@ -261,11 +275,10 @@ def collect_rollout(
         reset = out.done[:, None]
         new_h = jnp.where(reset, 0.0, new_h)
         new_c = jnp.where(reset, 0.0, new_c)
-        return (env_state, out.obs, new_h, new_c, rng), traj
+        return (env_state, out.obs, new_h, new_c), traj
 
-    rng, r_scan = jax.random.split(state.rng)
-    init = (runner.env_state, runner.obs, runner.lstm_h, runner.lstm_c, r_scan)
-    (env_state, last_obs, h, c, _), traj = jax.lax.scan(
+    init = (runner.env_state, runner.obs, runner.lstm_h, runner.lstm_c)
+    (env_state, last_obs, h, c), traj = jax.lax.scan(
         step_fn, init, None, length=ppo.rollout_steps
     )
     # bootstrap value of the post-rollout obs (CleanRL's next_value), under
@@ -303,8 +316,33 @@ def _adversarial_reward(ppo: PPO, disc_params, amp_norm, amp_obs):
     return -jnp.log(jnp.maximum(1.0 - prob, 1e-4))
 
 
-def _masked_mean(x, w):
-    return jnp.sum(x * w) / jnp.maximum(jnp.sum(w), 1.0)
+def _masked_mean(x, w, axis_name=None):
+    """Masked mean, DP-correct.
+
+    With axis_name set, each shard returns n_shards x (its contribution to
+    the GLOBAL masked mean): pmean over shards — which is exactly what the
+    grad/aux reduction applies — then equals the global masked mean, so
+    DP=N reproduces DP=1 even when shards hold different numbers of valid
+    (non-truncated) rows.
+    """
+    num = jnp.sum(x * w)
+    den = jnp.sum(w)
+    floor = 1.0
+    if axis_name is not None:
+        den = jax.lax.pmean(den, axis_name)  # = global_den / n_shards
+        floor = 1.0 / jax.lax.psum(1, axis_name)
+    return num / jnp.maximum(den, floor)
+
+
+def _global_masked_mean(x, w, axis_name=None):
+    """The global masked mean VALUE, identical on every shard (for uses that
+    need the actual statistic locally, e.g. advantage normalization)."""
+    num = jnp.sum(x * w)
+    den = jnp.sum(w)
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return num / jnp.maximum(den, 1.0)
 
 
 def update(
@@ -325,8 +363,10 @@ def update(
     T, B = traj.rewards.shape
     mask = 1.0 - traj.truncs  # reference masks truncated steps out
 
-    # running-norm updates (reference train.py:340-346, once per epoch)
-    obs_norm = running_norm.update(state.obs_norm, traj.obs)
+    # running-norm updates (reference train.py:340-346, once per epoch);
+    # batch statistics reduce over the data axis so every shard applies the
+    # same (global) normalizer — required for DP=N == DP=1
+    obs_norm = running_norm.update(state.obs_norm, traj.obs, axis_name=pmean_axis)
     amp_norm = state.amp_norm
     # always advance the learner rng so the next epoch's rollout draws a
     # fresh action-noise stream (previously only the AMP branch split it,
@@ -337,14 +377,22 @@ def update(
     amp_replay = state.amp_replay
     amp_replay_filled = state.amp_replay_filled
     if ppo.disc is not None:
-        amp_norm = running_norm.update(amp_norm, traj.amp_obs)
+        amp_norm = running_norm.update(amp_norm, traj.amp_obs, axis_name=pmean_axis)
         r_amp = _adversarial_reward(ppo, state.disc_params, amp_norm, traj.amp_obs)
         # equal weighting of task + adversarial reward (core.py:248-251)
         rewards = rewards + r_amp
-        # refresh 1% of the replay buffer with fresh agent obs (structs.py:165-176)
-        flat_amp = traj.amp_obs.reshape(T * B, -1)
+        # refresh 1% of the replay buffer with fresh agent obs (structs.py:165-176).
+        # The replay buffer is part of the replicated learner state, so under
+        # DP the refresh source must be the GLOBAL batch: all_gather the
+        # shard-local agent obs and restore the (T, B_global) row order so
+        # every shard writes the identical buffer (== the DP=1 buffer).
+        amp_src = traj.amp_obs
+        if pmean_axis is not None:
+            g = jax.lax.all_gather(traj.amp_obs, pmean_axis)  # (n, T, B_local, A)
+            amp_src = jnp.moveaxis(g, 0, 1).reshape(T, -1, g.shape[-1])
+        flat_amp = amp_src.reshape(-1, amp_src.shape[-1])
         rng, r_rep = jax.random.split(rng)
-        refresh = jax.random.uniform(r_rep, (T * B,)) < 0.01
+        refresh = jax.random.uniform(r_rep, (flat_amp.shape[0],)) < 0.01
         refresh = jnp.where(amp_replay_filled, refresh, True)
         n = amp_replay.shape[0]
         amp_replay = jnp.where(refresh[:n, None], flat_amp[:n], amp_replay)
@@ -424,19 +472,23 @@ def update(
         ratio = jnp.exp(jnp.minimum(logratio, 15.0))
         m = mb["mask"]
 
-        old_approx_kl = _masked_mean(-logratio, m)
-        approx_kl = _masked_mean((ratio - 1.0) - logratio, m)
-        clipfrac = _masked_mean((jnp.abs(ratio - 1.0) > cfg.clip_coef).astype(jnp.float32), m)
+        old_approx_kl = _masked_mean(-logratio, m, pmean_axis)
+        approx_kl = _masked_mean((ratio - 1.0) - logratio, m, pmean_axis)
+        clipfrac = _masked_mean(
+            (jnp.abs(ratio - 1.0) > cfg.clip_coef).astype(jnp.float32), m, pmean_axis
+        )
 
         adv = mb["adv"]
         if cfg.norm_adv:
-            amean = _masked_mean(adv, m)
-            astd = jnp.sqrt(_masked_mean((adv - amean) ** 2, m))
+            # normalization statistics must be the GLOBAL minibatch moments
+            # (adv is a constant here, so no gradient flows through the psum)
+            amean = _global_masked_mean(adv, m, pmean_axis)
+            astd = jnp.sqrt(_global_masked_mean((adv - amean) ** 2, m, pmean_axis))
             adv = (adv - amean) / (astd + 1e-8)
 
         pg1 = -adv * ratio
         pg2 = -adv * jnp.clip(ratio, 1.0 - cfg.clip_coef, 1.0 + cfg.clip_coef)
-        pg_loss = _masked_mean(jnp.maximum(pg1, pg2), m)
+        pg_loss = _masked_mean(jnp.maximum(pg1, pg2), m, pmean_axis)
 
         if cfg.clip_vloss:
             v_unclipped = (newvalue - mb["returns"]) ** 2
@@ -444,9 +496,9 @@ def update(
                 newvalue - mb["values"], -cfg.vf_clip_coef, cfg.vf_clip_coef
             )
             v_clipped = (v_clipped_val - mb["returns"]) ** 2
-            v_loss = _masked_mean(jnp.maximum(v_unclipped, v_clipped), m)
+            v_loss = _masked_mean(jnp.maximum(v_unclipped, v_clipped), m, pmean_axis)
         else:
-            v_loss = _masked_mean((newvalue - mb["returns"]) ** 2, m)
+            v_loss = _masked_mean((newvalue - mb["returns"]) ** 2, m, pmean_axis)
 
         mean_bound_loss = policies.bound_loss(mu)
 
@@ -549,12 +601,25 @@ def update(
     (params, disc_params, opt_state, _), auxes = jax.lax.scan(minibatch_step, carry, mb_order)
 
     losses = jax.tree_util.tree_map(lambda x: x.mean(), auxes)
+
+    def _gvar(x):
+        # variance over the GLOBAL batch (moment form so shards reduce)
+        m1, m2 = jnp.mean(x), jnp.mean(x * x)
+        if pmean_axis is not None:
+            m1 = jax.lax.pmean(m1, pmean_axis)
+            m2 = jax.lax.pmean(m2, pmean_axis)
+        return m2 - m1 * m1
+
     y_true = returns
-    var_y = jnp.var(y_true)
+    var_y = _gvar(y_true)
     losses["explained_variance"] = jnp.where(
-        var_y == 0, jnp.nan, 1.0 - jnp.var(y_true - traj.values) / var_y
+        var_y == 0, jnp.nan, 1.0 - _gvar(y_true - traj.values) / var_y
     )
 
+    step_inc = jnp.sum(mask)
+    if pmean_axis is not None:
+        # count the GLOBAL env steps, not the shard's
+        step_inc = jax.lax.psum(step_inc, pmean_axis)
     new_state = state._replace(
         params=params,
         disc_params=disc_params,
@@ -564,7 +629,7 @@ def update(
         amp_replay=amp_replay,
         amp_replay_filled=amp_replay_filled,
         rng=rng,
-        global_step=state.global_step + jnp.sum(mask),
+        global_step=state.global_step + step_inc,
         epoch=state.epoch + 1,
     )
     return new_state, losses
@@ -577,22 +642,20 @@ def train_step(
     runner: RunnerState,
     pmean_axis: Optional[str] = None,
 ):
-    """One full epoch: rollout + update. Jit (or shard_map) this."""
-    if pmean_axis is not None:
-        # Decorrelate per-shard action-sampling noise: learner rng is
-        # replicated (keeps updates identical across shards), but the
-        # rollout stream must differ per data shard.
-        shard_rng = jax.random.fold_in(state.rng, jax.lax.axis_index(pmean_axis))
-        rollout_state = state._replace(rng=shard_rng)
-    else:
-        rollout_state = state
-    runner, traj, final_value, roll_stats = collect_rollout(ppo, data, rollout_state, runner)
+    """One full epoch: rollout + update. Jit (or shard_map) this.
+
+    All rollout randomness derives from per-env PRNG streams (EnvState.rng)
+    and all update statistics reduce over `pmean_axis`, so a DP=N sharded
+    step reproduces the DP=1 step up to float reassociation
+    (tests/test_parallel.py::test_dp_equivalence).
+    """
+    runner, traj, final_value, roll_stats = collect_rollout(ppo, data, state, runner)
     if ppo.disc is not None:
         # fresh demo windows each epoch (original-PHC fetch_amp_obs_demo
-        # behavior; see henv.sample_amp_obs_demo)
-        amp_demo = henv.sample_amp_obs_demo(
-            ppo.env, data, jax.random.fold_in(rollout_state.rng, 0x5EED), runner.obs.shape[0]
-        )
+        # behavior; see henv.sample_amp_obs_demo). Keys derive per-env so the
+        # demo set is sharding-invariant.
+        demo_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(runner.env_state.rng)
+        amp_demo = henv.sample_amp_obs_demo_keyed(ppo.env, data, demo_keys)
     else:
         amp_demo = None
     state, losses = update(

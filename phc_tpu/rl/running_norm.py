@@ -34,11 +34,21 @@ def normalize(state: RunningNormState, x: jax.Array, clip: float = 10.0, eps: fl
     return jnp.clip((x - state.mean) / jnp.sqrt(state.var + eps), -clip, clip)
 
 
-def update(state: RunningNormState, batch: jax.Array) -> RunningNormState:
-    """Blend batch mean/var with weight 1/count (reference :23-34)."""
+def update(state: RunningNormState, batch: jax.Array, axis_name=None) -> RunningNormState:
+    """Blend batch mean/var with weight 1/count (reference :23-34).
+
+    axis_name: optional mesh axis to reduce the batch statistics over —
+    under data parallelism every shard must blend in the GLOBAL batch
+    moments (computed in moment form, var = E[x^2] - E[x]^2, so per-shard
+    means average exactly with equal shard sizes)."""
     x = batch.reshape(-1, batch.shape[-1]).astype(jnp.float32)
-    mean = x.mean(axis=0)
-    var = x.var(axis=0)
+    m1 = x.mean(axis=0)
+    m2 = (x * x).mean(axis=0)
+    if axis_name is not None:
+        m1 = jax.lax.pmean(m1, axis_name)
+        m2 = jax.lax.pmean(m2, axis_name)
+    mean = m1
+    var = jnp.maximum(m2 - m1 * m1, 0.0)
     w = 1.0 / state.count
     return RunningNormState(
         mean=state.mean * (1.0 - w) + mean * w,

@@ -130,6 +130,17 @@ def main():
     full = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
     t_full = timeit("full train_step", lambda: full(data, state, runner))
 
+    # --- optional xprof-compatible trace capture (SURVEY §5.1) -------------
+    # BENCH_TRACE_DIR=/tmp/trace captures one full train_step under
+    # jax.profiler (host + device events where the backend supports them);
+    # inspect with `tensorboard --logdir` / xprof.
+    trace_dir = os.environ.get("BENCH_TRACE_DIR")
+    if trace_dir:
+        with jax.profiler.trace(trace_dir):
+            _, _, tl = full(data, state, runner)
+            float(tl["policy_loss"])
+        print(f"jax profiler trace written to {trace_dir}", flush=True)
+
     # --- rollout only ------------------------------------------------------
     roll = jax.jit(lambda d, s, r: ppo_mod.collect_rollout(ppo, d, s, r))
     t_roll = timeit("rollout (32 env steps + fwd)", lambda: roll(data, state, runner))

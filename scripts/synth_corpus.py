@@ -1,0 +1,151 @@
+"""Synthesize a multi-clip training corpus from one converted AMASS clip.
+
+The real AMASS corpus (11,313 clips) is not available in this environment,
+but the corpus-scale machinery — resample-every-N-epochs, PMCP reweighting,
+full-corpus eval batching (reference `scripts/train.py:291-381`,
+`motion_lib.py:454-500`) — needs a many-clip dataset to be exercised for
+real. This script derives a deterministic >=64-clip corpus from the shipped
+sample (`/root/reference/sample_data/cmu_mocap_05_06.pkl`) via motion-space
+augmentations that produce genuinely distinct dynamics:
+
+  * sliding-window crops (different segments of the clip),
+  * left/right mirroring (conjugation of every global rotation by the
+    y-reflection + L/R joint swap on the symmetric SMPL skeleton),
+  * time warps (slerp-resampled 0.85x / 1.2x playback speed — harder and
+    easier dynamics at the same 30 fps),
+  * fixed heading rotations (distinct eval identities; training already
+    randomizes heading per load).
+
+Output schema matches the converter (`scripts/convert_amass_data.py`):
+{key: {root_trans_offset, pose_quat_global, fps, ...}}.
+
+Usage: python scripts/synth_corpus.py [--out data/synth_corpus.pkl]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import joblib
+import numpy as np
+
+from phc_tpu import body_sets
+
+SAMPLE = "/root/reference/sample_data/cmu_mocap_05_06.pkl"
+
+
+def _quat_nlerp(q0, q1, t):
+    """Normalized lerp with hemisphere fix (adjacent mocap frames are close,
+    nlerp == slerp to float precision)."""
+    dot = (q0 * q1).sum(axis=-1, keepdims=True)
+    q1 = np.where(dot < 0, -q1, q1)
+    q = q0 * (1.0 - t) + q1 * t
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def mirror_clip(grot: np.ndarray, trans: np.ndarray):
+    """Reflect the motion across the x-z plane (y -> -y).
+
+    A rotation conjugated by the reflection M = diag(1,-1,1) flips the sign
+    of the axis components M keeps: q' = (-qx, qy, -qz, qw); left/right
+    joints swap roles on the symmetric SMPL skeleton."""
+    names = body_sets.BODY_NAMES
+    swap = []
+    for n in names:
+        if n.startswith("L_"):
+            swap.append(names.index("R_" + n[2:]))
+        elif n.startswith("R_"):
+            swap.append(names.index("L_" + n[2:]))
+        else:
+            swap.append(names.index(n))
+    g = grot[:, swap].copy()
+    g[..., 0] *= -1.0
+    g[..., 2] *= -1.0
+    t = trans.copy()
+    t[:, 1] *= -1.0
+    return g, t
+
+
+def timewarp_clip(grot: np.ndarray, trans: np.ndarray, speed: float):
+    """Resample to `speed`x playback at the same fps (slerp/lerp between
+    frames)."""
+    F = grot.shape[0]
+    n_out = max(int(np.floor((F - 1) / speed)) + 1, 8)
+    src = np.minimum(np.arange(n_out) * speed, F - 1 - 1e-6)
+    i0 = np.floor(src).astype(np.int64)
+    i1 = np.minimum(i0 + 1, F - 1)
+    t = (src - i0).astype(np.float32)
+    g = _quat_nlerp(grot[i0], grot[i1], t[:, None, None])
+    tr = trans[i0] * (1.0 - t[:, None]) + trans[i1] * t[:, None]
+    return g.astype(np.float32), tr.astype(np.float32)
+
+
+def rotate_heading(grot: np.ndarray, trans: np.ndarray, yaw: float):
+    half = 0.5 * yaw
+    qz = np.array([0.0, 0.0, np.sin(half), np.cos(half)], np.float32)
+    x, y, z, w = grot[..., 0], grot[..., 1], grot[..., 2], grot[..., 3]
+    qx, qy, qzz, qw = qz
+    g = np.stack(
+        [
+            qw * x + qx * w + qy * z - qzz * y,
+            qw * y - qx * z + qy * w + qzz * x,
+            qw * z + qx * y - qy * x + qzz * w,
+            qw * w - qx * x - qy * y - qzz * z,
+        ],
+        axis=-1,
+    )
+    c, s = np.cos(yaw), np.sin(yaw)
+    t = trans.copy()
+    t[:, 0] = c * trans[:, 0] - s * trans[:, 1]
+    t[:, 1] = s * trans[:, 0] + c * trans[:, 1]
+    return g.astype(np.float32), t
+
+
+def main(out_path: str = "data/synth_corpus.pkl"):
+    raw = joblib.load(SAMPLE)
+    (base_key, base), = list(raw.items())[:1]
+    grot0 = np.asarray(base["pose_quat_global"], np.float32)
+    trans0 = np.asarray(base["root_trans_offset"], np.float32)
+    fps = float(base.get("fps", 30))
+    F = grot0.shape[0]
+
+    out = {}
+
+    def add(key, g, t):
+        clip = {
+            "pose_quat_global": g,
+            "root_trans_offset": t,
+            "fps": fps,
+            "beta": np.zeros(16, np.float32),
+            "gender": "neutral",
+        }
+        out[key] = clip
+
+    # windows: full clip + 3 sliding 120-frame crops (linspace over starts)
+    windows = [("full", grot0, trans0)]
+    win = 120
+    for wi, start in enumerate(np.linspace(0, max(F - win, 0), 3).astype(int)):
+        windows.append((f"w{wi}", grot0[start : start + win], trans0[start : start + win]))
+
+    speeds = [1.0, 0.85, 1.2]
+    yaws = [0.0, 2.0 * np.pi / 3.0, -2.0 * np.pi / 3.0]
+    for wname, g0, t0 in windows:
+        for sp in speeds:
+            gs, ts = (g0, t0) if sp == 1.0 else timewarp_clip(g0, t0, sp)
+            for mirrored in (False, True):
+                gm, tm = mirror_clip(gs, ts) if mirrored else (gs, ts)
+                for yi, yaw in enumerate(yaws):
+                    gy, ty = rotate_heading(gm, tm, yaw) if yaw != 0.0 else (gm, tm)
+                    key = f"{base_key}_{wname}_s{sp:g}{'_mir' if mirrored else ''}_y{yi}"
+                    add(key, gy, ty)
+
+    out_p = Path(out_path)
+    out_p.parent.mkdir(parents=True, exist_ok=True)
+    joblib.dump(out, out_p)
+    print(f"wrote {len(out)} clips to {out_p}")
+    return out_p
+
+
+if __name__ == "__main__":
+    main(sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else "data/synth_corpus.pkl")

@@ -32,7 +32,7 @@ setup_cache()
 from phc_tpu.config import AppConfig, parse_cli, config_to_dict
 from phc_tpu.env import humanoid_env as henv
 from phc_tpu.motionlib import MotionLib
-from phc_tpu.parallel import make_mesh
+from phc_tpu.parallel import make_mesh, shard_train_step
 from phc_tpu.rl import ppo as ppo_mod
 from phc_tpu.rl import policies, running_norm
 from phc_tpu.runtime import checkpoint as ckpt_mod
@@ -69,6 +69,7 @@ def build(cfg: AppConfig):
 def mode_train(cfg: AppConfig):
     lib, data, env, ppo = build(cfg)
     mesh = make_mesh(cfg.mesh.data_axis, cfg.mesh.model_axis)
+    use_dp = mesh.data_size > 1
     print(f"devices: {jax.devices()}; mesh: data={mesh.data_size} model={mesh.model_size}")
 
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -81,7 +82,24 @@ def mode_train(cfg: AppConfig):
 
     runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, r_env)
 
-    train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
+    if use_dp:
+        # data-parallel training: learner state + motion data replicated,
+        # env batch (runner) sharded over the data axis; gradients/statistics
+        # pmean inside the step (ppo.update pmean_axis). Rollout randomness
+        # is per-env, so this reproduces the single-device run
+        # (tests/test_parallel.py::test_dp_equivalence).
+        assert cfg.env.num_envs % mesh.data_size == 0, (
+            f"num_envs {cfg.env.num_envs} must divide over data axis {mesh.data_size}"
+        )
+        sharded_step = shard_train_step(
+            mesh,
+            lambda state, runner, data, pmean_axis: ppo_mod.train_step(
+                ppo, data, state, runner, pmean_axis=pmean_axis
+            ),
+        )
+        train_step = jax.jit(lambda d, s, r: sharded_step(s, r, d))
+    else:
+        train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
 
     # restore: explicit path wins; otherwise auto-resume from the latest
     # checkpoint of this experiment (reference `try_load_checkpoint`,
@@ -93,6 +111,11 @@ def mode_train(cfg: AppConfig):
     if resume_path:
         state = ckpt_mod.load_checkpoint(resume_path, state)
         print(f"restored checkpoint {resume_path}")
+
+    if use_dp:
+        state = mesh.replicate(state)
+        data = mesh.replicate(data)
+        runner = mesh.shard_batch(runner)
 
     profile = PhaseProfiler()
     stats_agg = StatsAggregator()
@@ -108,6 +131,17 @@ def mode_train(cfg: AppConfig):
         # humanoid_phc.py:1370) ----------------------------------------------
         if epoch > 0 and epoch % cfg.train.motion_resample_interval == 0:
             with profile.phase("resample"):
+                # carry the phase-fail curriculum across the resample: the EMA
+                # is per-(env, phase-bin) and each env's identity is its
+                # GLOBAL motion id, so history survives wherever the env's
+                # assigned clip is unchanged (single-clip corpora keep all of
+                # it; re-rolled assignments start fresh).
+                old_ids = np.asarray(lib.curr_motion_ids)
+                old_pf = (
+                    np.asarray(jax.device_get(runner.env_state.phase_fail))
+                    if cfg.env.phase_curriculum
+                    else None
+                )
                 data = lib.load_motions(
                     num_motions=cfg.env.num_envs,
                     random_sample=not cfg.env.seq_motions,
@@ -115,6 +149,21 @@ def mode_train(cfg: AppConfig):
                 )
                 rng, r_env = jax.random.split(rng)
                 runner = jax.jit(lambda d, r: ppo_mod.init_runner(ppo, d, r))(data, r_env)
+                if old_pf is not None:
+                    new_ids = np.asarray(lib.curr_motion_ids)
+                    B = cfg.env.num_envs
+                    # env -> loaded-slot assignment (reset_all default)
+                    keep = (
+                        new_ids[np.arange(B) % len(new_ids)]
+                        == old_ids[np.arange(B) % len(old_ids)]
+                    )
+                    pf = np.where(keep[:, None], old_pf, 0.0).astype(np.float32)
+                    runner = runner._replace(
+                        env_state=runner.env_state._replace(phase_fail=jnp.asarray(pf))
+                    )
+                if use_dp:
+                    data = mesh.replicate(data)
+                    runner = mesh.shard_batch(runner)
 
         # --- eval + PMCP (reference train.py:314-324) ------------------------
         if cfg.train.eval_interval > 0 and epoch > 0 and epoch % cfg.train.eval_interval == 0:
@@ -173,7 +222,15 @@ def mode_train(cfg: AppConfig):
 def make_act_fn(cfg: AppConfig, ppo, state):
     """Deterministic act_fn(obs, carry) -> (actions, carry) for eval/play
     (std clamped, reference phc_policy.py:51). Handles both MLP and LSTM
-    policies (LSTM carry threads through `carry`, zero-initialized)."""
+    policies (LSTM carry threads through `carry`, zero-initialized).
+
+    The returned act_fn is jax-traceable (it runs inside the eval harness's
+    jitted rollout scan). Under DP training the learner state is replicated
+    over the mesh — localize it so eval (a single-device program) composes
+    with it cleanly."""
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    if hasattr(leaf, "sharding") and len(leaf.sharding.device_set) > 1:
+        state = jax.device_put(jax.device_get(state))
     if ppo.use_lstm:
 
         def act(obs, carry):

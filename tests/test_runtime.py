@@ -152,6 +152,67 @@ def test_checkpoint_roundtrip(tmp_path):
     assert cfg_json == {"a": 1}
 
 
+def test_streaming_pa_mpjpe_matches_numpy_procrustes():
+    """The device-side Newton-polar PA alignment must reproduce the numpy
+    SVD-based _procrustes_align to float tolerance."""
+    from phc_tpu.runtime.eval_harness import _pa_mpjpe
+    from phc_tpu.runtime.metrics import _procrustes_align
+
+    rng = np.random.default_rng(0)
+    gt = rng.normal(size=(16, 24, 3)).astype(np.float32)
+    # pred = rotated+scaled+shifted gt + noise (realistic near-rigid case)
+    th = 0.4
+    R = np.array(
+        [[np.cos(th), -np.sin(th), 0], [np.sin(th), np.cos(th), 0], [0, 0, 1]], np.float32
+    )
+    pred = 1.1 * gt @ R.T + 0.3 + 0.05 * rng.normal(size=gt.shape).astype(np.float32)
+
+    dev = np.asarray(_pa_mpjpe(jnp.asarray(pred), jnp.asarray(gt)))
+    ref_aligned = _procrustes_align(pred.astype(np.float64), gt.astype(np.float64))
+    ref = np.linalg.norm(ref_aligned - gt, axis=-1).mean(axis=-1)
+    np.testing.assert_allclose(dev, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_checkpoint_topology_portability(tmp_path):
+    """Checkpoints are topology-free (SURVEY §5.3/§5.4 multi-host
+    coherence): a state saved under an 8-device replicated placement
+    restores bit-exactly on a single device, and a single-device checkpoint
+    restores onto the 8-device mesh — the restore target's placement is
+    independent of the save-time mesh (orbax stores the logical array)."""
+    from phc_tpu.env import humanoid_env as henv
+    from phc_tpu.parallel import make_mesh
+    from phc_tpu.rl import ppo as ppo_mod
+    from phc_tpu.config import TrainConfig, PolicyConfig
+    from phc_tpu.runtime import checkpoint as ck
+
+    cfg = EnvConfig(num_envs=4, motion_file=SAMPLE_PKL)
+    env = henv.make_env(cfg)
+    ppo = ppo_mod.make_ppo(
+        TrainConfig(batch_size=16, minibatch_size=8),
+        env,
+        PolicyConfig(hidden_size=16, layer_sizes=(32, 16)),
+    )
+    state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+    mesh = make_mesh(data_axis=8, model_axis=1)
+
+    def assert_equal(a_tree, b_tree):
+        for a, b in zip(jax.tree_util.tree_leaves(a_tree), jax.tree_util.tree_leaves(b_tree)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # 8-device replicated save -> single-device restore
+    state_repl = mesh.replicate(state)
+    p8 = ck.save_checkpoint(str(tmp_path), "dp8", 1, state_repl, {})
+    restored_1 = ck.load_checkpoint(p8, state)
+    assert_equal(state, restored_1)
+
+    # single-device save -> restore then place on the 8-device mesh
+    p1 = ck.save_checkpoint(str(tmp_path), "dp1", 1, state, {})
+    restored_8 = mesh.replicate(ck.load_checkpoint(p1, state))
+    assert_equal(state, restored_8)
+    leaf = jax.tree_util.tree_leaves(restored_8.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
 def test_amass_converter_synthetic(tmp_path):
     """convert_amass_data on a synthetic AMASS-format npz: output schema
     matches the shipped sample pkl and loads through MotionLib."""

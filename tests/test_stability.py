@@ -353,7 +353,8 @@ def test_phase_fail_ema_accumulates_at_termination_phase():
     assert bool(out.terminated.all())
     ema = np.asarray(state2.phase_fail)
     assert (ema.sum(axis=-1) > 0.9).all()
-    # the hit bin corresponds to progress*dt/length
+    # the hit bin mirrors the production binning: (t - lead)/length, clamped
     t = 41.0 / 30.0
-    k = int(t / float(np.asarray(data.motion_lengths)[0]) * 8)
+    length = float(np.asarray(data.motion_lengths)[0])
+    k = min(int(max(t - env_cfg.phase_curriculum_lead, 0.0) / length * 8), 7)
     assert (ema.argmax(axis=-1) == k).all()
