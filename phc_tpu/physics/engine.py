@@ -437,6 +437,20 @@ def _bias_comps(model: PhysicsModel, frame: BodyFrame, state: PhysicsState, para
     return tau
 
 
+def _bias_dispatch(model: PhysicsModel, frame, state, params, Sc) -> jax.Array:
+    """RNEA bias: fused batch-in-lanes Pallas kernel on TPU (lanes solver
+    mode — ~25x cheaper than the XLA component path at B=4096, see
+    lanes_dyn.py), component path elsewhere. Both compute identical math."""
+    solver = model.solver
+    if solver == "auto":
+        solver = "lanes" if jax.default_backend() == "tpu" else "schur"
+    if solver == "lanes":
+        from phc_tpu.physics import lanes_dyn
+
+        return lanes_dyn.bias_forces_lanes(model, frame, state)
+    return _bias_comps(model, frame, state, params, Sc)
+
+
 def mass_matrix(model: PhysicsModel, frame: BodyFrame) -> jax.Array:
     """Joint-space mass matrix via world-frame CRBA. (B, N, N)."""
     params = _dyn_params(model, frame)
@@ -1106,7 +1120,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
     if "bias" in skip or "mass" in skip:
         C = jnp.zeros((B, N))
     else:
-        C = _bias_comps(model, frame, state, params, Sc)
+        C = _bias_dispatch(model, frame, state, params, Sc)
 
     tau_act = pd_actuation(model, state, pd_target, dt)
     tau = jnp.concatenate([jnp.zeros((B, 6)), tau_act], axis=-1)
@@ -1261,14 +1275,30 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
     B = state.batch
     J = model.num_bodies
     N = model.num_dofs
+    skip = _DEBUG_SKIP  # bench_profile attribution knockouts (never set in prod)
 
     frame = forward_kinematics(model, state)
     Sc = _motion_subspace_comps(model, frame)
     params = _dyn_params(model, frame)
-    M = _mass_matrix_comps(model, params, Sc)
-    C = _bias_comps(model, frame, state, params, Sc)
+    if "mass" in skip:
+        M = jnp.broadcast_to(jnp.eye(N) * 10.0, (B, N, N))
+    else:
+        M = _mass_matrix_comps(model, params, Sc)
+    if "bias" in skip:
+        C = jnp.zeros((B, N))
+    else:
+        C = _bias_dispatch(model, frame, state, params, Sc)
 
-    cs = _contact_system(model, frame, Sc)
+    if "contacts" in skip:
+        Am = model.max_contacts or 1
+        zA = jnp.zeros((B, Am))
+        cs = ContactSystem(
+            Jm=jnp.zeros((B, N, 3 * Am)), v_t1=zA, v_t2=zA, v_n=zA, pen=zA,
+            active=zA, t1=(zA, zA, zA), t2=(zA, zA, zA), n=(zA, zA, zA),
+            oh_signed=jnp.zeros((B, J, Am)),
+        )
+    else:
+        cs = _contact_system(model, frame, Sc)
     pen0, active0 = cs.pen, cs.active
     Am = pen0.shape[1]
     k, d = model.contact_stiffness, model.contact_damping
@@ -1294,13 +1324,16 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
     lhs = M + jnp.asarray(np.diag(dt * kd_full)[None])
     # Gram-factored SPD assembly (see _physics_substep): exactly PSD under
     # bf16 rounding, unlike the direct dt*J diag(c) J^T einsum.
-    W = cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :]
-    lhs = lhs + jnp.einsum("bnm,bkm->bnk", W, W, precision=_CPREC)
+    if "gram" not in skip:
+        W = cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :]
+        lhs = lhs + jnp.einsum("bnm,bkm->bnk", W, W, precision=_CPREC)
 
     solver = model.solver
     if solver == "auto":
         solver = "lanes" if jax.default_backend() == "tpu" else "schur"
-    if solver == "lanes":
+    if "solve" in skip:
+        resolve = lambda rhs: rhs * 0.01
+    elif solver == "lanes":
         Lt = chol_factor_lanes(lhs)
         resolve = lambda rhs: chol_resolve_lanes(Lt, rhs)
     else:
@@ -1341,7 +1374,10 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
         f_expl_m = jnp.concatenate(
             [-c_t * v_t1_i, -c_t * v_t2_i, k * pen_fi * active_i - c_n * v_n_i], axis=-1
         )
-        Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_CPREC)
+        if "qcontact" in skip:
+            Q_contact = jnp.zeros((B, N))
+        else:
+            Q_contact = jnp.einsum("bnm,bm->bn", cs.Jm, f_expl_m, precision=_CPREC)
 
         rhs = tau + Q_contact - C
         qacc = resolve(rhs)
@@ -1350,7 +1386,8 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
         # hard velocity cap (PhysX articulation parity; see PhysicsModel)
         vel = jnp.clip(vel, -model.max_velocity, model.max_velocity)
         # first-order contact-state update against the frozen Jacobian
-        v_m = v_m + dt * jnp.einsum("bnm,bn->bm", cs.Jm, qacc, precision=_CPREC)
+        if "qcontact" not in skip:
+            v_m = v_m + dt * jnp.einsum("bnm,bn->bm", cs.Jm, qacc, precision=_CPREC)
         pen_i = pen_i - dt * v_m[:, 2 * Am :]
 
         # integrate pose

@@ -1,0 +1,249 @@
+"""Batch-in-lanes Pallas kernels for the per-step dynamics build.
+
+Why this exists (measured on v5e, scripts/bench_profile.py r2): the RNEA
+bias build dominates the physics cost — ~5.4 ms/substep at B=4096 out of a
+~7.8 ms substep — even though it is a few hundred elementwise ops on
+(B, J=24) component arrays plus four tiny (24, 24) matmuls. In XLA's
+batch-major layout those arrays tile as (8 sublanes, 128 lanes) with only
+24 of 128 lanes used (5.3x padding waste), and the op chain fragments
+around the einsums/stacks into dozens of HBM round trips. Here the whole
+computation is ONE Pallas kernel in the env-minor ("lanes") layout the
+Cholesky solver already uses (phc_tpu/physics/solver.py): the batch rides
+the 128-lane dimension at zero padding waste, J/N live in sublanes, every
+intermediate stays in VMEM, and the ancestor/subtree prefix sums are small
+in-VMEM matmuls.
+
+Numerical contract: identical math to `engine._bias_comps` (same component
+formulas, same ancestor-mask prefix-sum trick); validated against it and
+transitively against MuJoCo's qfrc_bias (tests/test_physics.py,
+tests/test_lanes_dyn.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _cross(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _auto_interpret(interpret):
+    if interpret is None:
+        return jax.default_backend() == "cpu"
+    return interpret
+
+
+def _bias_tables(model):
+    """Constant tensors for the lanes kernel, packed into a few inputs:
+
+      bodyc (J, 16):   [m | com(3) | I_body row-major (9) | pad]
+      adj   (2, J, J): [ancestor-or-self mask | its transpose]
+      sel   (5, N, J): [PB dof->body | GD_x | GD_y | GD_z | EW (cols 0:3)]
+      om    (3, J, VP): vel-row -> per-body local joint-omega selection
+    """
+    J = model.num_bodies
+    N = model.num_dofs
+    VP = -(-N // 8) * 8
+
+    bodyc = np.zeros((J, 16), np.float32)
+    bodyc[:, 0] = model.mass
+    bodyc[:, 1:4] = model.com
+    bodyc[:, 4:13] = model.inertia.reshape(J, 9)
+
+    anc = model.ancestor_mask.astype(np.float32)
+    adj = np.stack([anc, anc.T.copy()])
+
+    dof_body = np.concatenate([[0] * 6, np.repeat(np.arange(1, J), 3)]).astype(np.int64)
+    sel = np.zeros((5, N, J), np.float32)
+    sel[0, np.arange(N), dof_body] = 1.0  # PB
+    for d in range(3):
+        sel[1 + d, 3 + d, 0] = 1.0  # root rotation dofs: axis d of body 0
+        for j in range(1, J):
+            sel[1 + d, 6 + 3 * (j - 1) + d, j] = 1.0  # ball dof (j, d)
+        sel[4, d, d] = 1.0  # EW: translation dofs l = e_w
+
+    om = np.zeros((3, J, VP), np.float32)
+    for d in range(3):
+        for j in range(1, J):
+            om[d, j, 6 + 3 * (j - 1) + d] = 1.0
+
+    return bodyc, adj, sel, om, float(model.gravity), J, N, VP
+
+
+def _make_bias_kernel(J: int, N: int, g: float):
+    grav = (0.0, 0.0, g)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def kernel(ft_ref, vt_ref, bodyc_ref, adj_ref, sel_ref, om_ref, out_ref):
+        L = ft_ref.shape[-1]
+        ft = ft_ref[:]
+        vt = vt_ref[:]
+        bodyc = bodyc_ref[:]
+        anc, desc = adj_ref[0], adj_ref[1]
+        PB = sel_ref[0]
+        GD = (sel_ref[1], sel_ref[2], sel_ref[3])
+        EW = sel_ref[4]  # (N, J), columns 0:3 hold e_w
+        m_c = bodyc[:, 0:1]
+        com = bodyc[:, 1:4]
+        Ib = bodyc[:, 4:13]
+
+        pos = tuple(ft[i] for i in range(3))  # (J, L)
+        qx, qy, qz, qw = ft[3], ft[4], ft[5], ft[6]
+        lin = tuple(ft[7 + i] for i in range(3))
+        w = tuple(ft[10 + i] for i in range(3))
+
+        # rotation-matrix components (engine._rotmat_comps)
+        xx, yy, zz = qx * qx, qy * qy, qz * qz
+        xy, xz, yz = qx * qy, qx * qz, qy * qz
+        wx, wy, wz = qw * qx, qw * qy, qw * qz
+        R = (
+            1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+            2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+            2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+        )
+
+        # world COM + world inertia comps (engine._dyn_params)
+        c = tuple(
+            pos[r]
+            + R[3 * r + 0] * com[:, 0:1]
+            + R[3 * r + 1] * com[:, 1:2]
+            + R[3 * r + 2] * com[:, 2:3]
+            for r in range(3)
+        )
+
+        def iw(r, s):
+            acc = 0.0
+            for p in range(3):
+                for q in range(3):
+                    acc = acc + R[3 * r + p] * Ib[:, 3 * p + q][:, None] * R[3 * s + q]
+            return acc
+
+        Iw = dict(xx=iw(0, 0), xy=iw(0, 1), xz=iw(0, 2), yy=iw(1, 1), yz=iw(1, 2), zz=iw(2, 2))
+
+        # body velocity about the world origin
+        wxp = _cross(w, pos)
+        v_o = tuple(lin[i] - wxp[i] for i in range(3))
+
+        # joint-rate subspace velocity per body (world)
+        om_loc = tuple(dot(om_ref[d], vt) for d in range(3))  # (J, L), zero at root
+        sv_ang = tuple(
+            R[3 * r + 0] * om_loc[0] + R[3 * r + 1] * om_loc[1] + R[3 * r + 2] * om_loc[2]
+            for r in range(3)
+        )
+        sv_lin = _cross(pos, sv_ang)
+        term_aw = _cross(w, sv_ang)
+        t1 = _cross(w, sv_lin)
+        t2 = _cross(v_o, sv_ang)
+
+        # root term: av[root] = -g + root_sdot (engine._bias_comps:377-391)
+        w_root = tuple(w[i][0:1, :] for i in range(3))
+        vlin_root = tuple(vt[i : i + 1, :] for i in range(3))
+        root_sdot = tuple(-x for x in _cross(w_root, vlin_root))  # 3 x (1, L)
+        row0 = (jax.lax.broadcasted_iota(jnp.int32, (J, L), 0) == 0).astype(jnp.float32)
+        term_av = tuple(t1[i] + t2[i] + row0 * (root_sdot[i] - grav[i]) for i in range(3))
+
+        # ancestor prefix sums -> bias accelerations
+        aw = tuple(dot(anc, term_aw[i]) for i in range(3))
+        av = tuple(dot(anc, term_av[i]) for i in range(3))
+
+        # closed-form spatial-inertia products about the world origin
+        def I_apply(wc, vc):
+            iww = (
+                Iw["xx"] * wc[0] + Iw["xy"] * wc[1] + Iw["xz"] * wc[2],
+                Iw["xy"] * wc[0] + Iw["yy"] * wc[1] + Iw["yz"] * wc[2],
+                Iw["xz"] * wc[0] + Iw["yz"] * wc[1] + Iw["zz"] * wc[2],
+            )
+            wxc = _cross(wc, c)
+            inner = tuple(wxc[i] + vc[i] for i in range(3))
+            cxi = _cross(c, inner)
+            n = tuple(iww[i] + m_c * cxi[i] for i in range(3))
+            f = tuple(m_c * inner[i] for i in range(3))
+            return n, f
+
+        n_v, f_v = I_apply(w, v_o)
+        n_a, f_a = I_apply(aw, av)
+        wxn = _cross(w, n_v)
+        vxf = _cross(v_o, f_v)
+        wxf = _cross(w, f_v)
+        fb_top = tuple(n_a[i] + wxn[i] + vxf[i] for i in range(3))
+        fb_bot = tuple(f_a[i] + wxf[i] for i in range(3))
+
+        # subtree wrench sums, gathered to dof rows
+        Xs = tuple(dot(desc, x) for x in (*fb_top, *fb_bot))  # 6 x (J, L)
+        XsD = tuple(dot(PB, x) for x in Xs)  # 6 x (N, L)
+
+        # motion subspace (engine._motion_subspace_comps) on dof rows
+        a_c = tuple(
+            dot(GD[0], R[3 * w_ + 0]) + dot(GD[1], R[3 * w_ + 1]) + dot(GD[2], R[3 * w_ + 2])
+            for w_ in range(3)
+        )
+        x_c = tuple(dot(PB, pos[i]) for i in range(3))
+        l_c = _cross(x_c, a_c)
+        l_c = tuple(l_c[i] + EW[:, i][:, None] for i in range(3))
+
+        Sc = (*a_c, *l_c)
+        tau = Sc[0] * XsD[0]
+        for i in range(1, 6):
+            tau = tau + Sc[i] * XsD[i]
+
+        pad_rows = out_ref.shape[0] - N
+        if pad_rows:
+            tau = jnp.concatenate([tau, jnp.zeros((pad_rows, L), tau.dtype)], axis=0)
+        out_ref[:] = tau
+
+    return kernel
+
+
+def bias_forces_lanes(model, frame, state, interpret: bool | None = None) -> jax.Array:
+    """RNEA bias forces (Coriolis/centrifugal + gravity), (B, N) — the
+    fused lanes-kernel replacement for `engine._bias_comps`."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = _auto_interpret(interpret)
+    bodyc, adj, sel, om, g, J, N, VP = _bias_tables(model)
+    B = frame.rot.shape[0]
+    LANES = 128
+    Bp = -(-B // LANES) * LANES
+
+    ft = jnp.concatenate(
+        [frame.pos, frame.rot, frame.lin_vel, frame.ang_vel], axis=-1
+    ).transpose(2, 1, 0)  # (13, J, B)
+    vt = state.vel.T  # (N, B)
+    if VP != N:
+        vt = jnp.pad(vt, ((0, VP - N), (0, 0)))
+    if Bp != B:
+        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, Bp - B)))
+        vt = jnp.pad(vt, ((0, 0), (0, Bp - B)))
+
+    NP = -(-N // 8) * 8
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _make_bias_kernel(J, N, g),
+        out_shape=jax.ShapeDtypeStruct((NP, Bp), jnp.float32),
+        grid=(Bp // LANES,),
+        in_specs=[
+            pl.BlockSpec((13, J, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VP, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            const_spec(bodyc.shape),
+            const_spec(adj.shape),
+            const_spec(sel.shape),
+            const_spec(om.shape),
+        ],
+        out_specs=pl.BlockSpec((NP, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(ft, vt, jnp.asarray(bodyc), jnp.asarray(adj), jnp.asarray(sel), jnp.asarray(om))
+    return out[:N, :B].T

@@ -299,6 +299,12 @@ def collect_rollout(
         # (nonzero means forced resets are polluting terminations — the
         # failure mode behind the r2 bf16-LHS bug, see engine.py Gram note)
         "diverged_rate": traj.diverged.mean(),
+        # failure-phase curriculum observability: env-mean of the normalized
+        # per-phase-bin termination EMA (which motion segments are hard NOW)
+        "phase_fail_hist": (
+            env_state.phase_fail
+            / jnp.maximum(env_state.phase_fail.sum(axis=-1, keepdims=True), 1e-6)
+        ).mean(axis=0),
     }
     runner = RunnerState(env_state=env_state, obs=last_obs, lstm_h=h, lstm_c=c)
     return runner, traj, final_value, stats
@@ -417,9 +423,15 @@ def update(
     def mb_view(x):
         # (T, B, ...) -> (nmb, T, envs_mb, ...): minibatch = env subgroup,
         # time structure preserved (needed for BPTT; the reference reaches
-        # the same layout through its (env, step) sort, structs.py:133-145)
-        xs = x.reshape((T, nmb, envs_mb) + x.shape[2:])
-        return jnp.moveaxis(xs, 1, 0)
+        # the same layout through its (env, step) sort, structs.py:133-145).
+        # Groups are STRIDED over envs (group k = envs with e % nmb == k),
+        # not contiguous: with Bl % nmb == 0, the strided partition is
+        # invariant to block-sharding the env batch over the data axis, so
+        # DP=N builds exactly the same global minibatches as DP=1 (the
+        # contiguous partition does not — shard s's k-th contiguous group
+        # is not a slice of the global k-th group).
+        xs = x.reshape((T, envs_mb, nmb) + x.shape[2:])
+        return jnp.moveaxis(xs, 2, 0)
 
     b_obs = mb_view(traj.obs)
     b_actions = mb_view(traj.actions)
@@ -509,16 +521,39 @@ def update(
         disc_agent_acc = jnp.zeros(())
         disc_demo_acc = jnp.zeros(())
         if ppo.disc is not None:
-            amp_flat_mb = mb["amp"].reshape(-1, mb["amp"].shape[-1])
-            amp_agent = jnp.concatenate([amp_flat_mb, mb["amp_replay"]], axis=0)
-            agent_logits = ppo.disc.apply(disc_params, running_norm.normalize(amp_norm, amp_agent))
+            amp_flat_mb = mb["amp"].reshape(-1, mb["amp"].shape[-1])  # per-shard rows
+            replay_mb = mb["amp_replay"]  # REPLICATED rows (identical on all shards)
+            local_logits = ppo.disc.apply(
+                disc_params, running_norm.normalize(amp_norm, amp_flat_mb)
+            )
+            replay_logits = ppo.disc.apply(
+                disc_params, running_norm.normalize(amp_norm, replay_mb)
+            )
             demo_logits = ppo.disc.apply(disc_params, running_norm.normalize(amp_norm, amp_demo_mb))
-            bce = lambda logits, target: jnp.mean(
+            bce_el = lambda logits, target: (
                 jnp.maximum(logits, 0) - logits * target + jnp.log1p(jnp.exp(-jnp.abs(logits)))
             )
-            disc_loss = 0.5 * (bce(agent_logits, 0.0) + bce(demo_logits, 1.0))
+
+            def shared_local_mean(local, shared):
+                """Mean over the GLOBAL agent row set = (union of per-shard
+                local rows) + (one copy of the replicated replay rows).
+                Returns n_shards x the shard's contribution, so the pmean
+                applied to aux/grads reproduces the DP=1 value exactly
+                (plain per-shard means would overweight the replay rows)."""
+                if pmean_axis is None:
+                    return (jnp.sum(local) + jnp.sum(shared)) / (local.size + shared.size)
+                n = jax.lax.psum(1, pmean_axis)
+                denom = local.size * n + shared.size
+                return (jnp.sum(local) * n + jnp.sum(shared)) / denom
+
+            disc_loss = 0.5 * (
+                shared_local_mean(bce_el(local_logits, 0.0), bce_el(replay_logits, 0.0))
+                + jnp.mean(bce_el(demo_logits, 1.0))
+            )
             loss = loss + cfg.disc_coef * disc_loss
-            disc_agent_acc = jnp.mean((agent_logits < 0).astype(jnp.float32))
+            disc_agent_acc = shared_local_mean(
+                (local_logits < 0).astype(jnp.float32), (replay_logits < 0).astype(jnp.float32)
+            )
             disc_demo_acc = jnp.mean((demo_logits > 0).astype(jnp.float32))
 
         l2_reg = jnp.zeros(())

@@ -285,6 +285,32 @@ def main():
         finally:
             eng._DEBUG_SKIP = frozenset()
 
+    # --- frozen-path knockouts (the PRODUCTION substep mode; the block
+    # above attributes the legacy full-rebuild path) -------------------------
+    def frozen32(ps):
+        def body(s, _):
+            s2, _ = eng._step_frozen(model, s, tgt)
+            return s2, None
+
+        out, _ = jax.lax.scan(body, ps, None, length=32)
+        return out.root_pos
+
+    timeit("32x frozen ctrl step (full)", jax.jit(frozen32), phys_state)
+    for name, sk in [
+        ("- bias", {"bias"}),
+        ("- contact build", {"contacts"}),
+        ("- gram", {"gram"}),
+        ("- qcontact matvecs", {"qcontact"}),
+        ("- solve", {"solve"}),
+        ("- all contact+solve", {"contacts", "gram", "qcontact", "solve"}),
+        ("bare", {"mass", "bias", "contacts", "gram", "qcontact", "solve"}),
+    ]:
+        eng._DEBUG_SKIP = frozenset(sk)
+        try:
+            timeit(f"32x frozen {name}", jax.jit(frozen32), phys_state)
+        finally:
+            eng._DEBUG_SKIP = frozenset()
+
     # --- GAE ---------------------------------------------------------------
     from phc_tpu.rl import gae as gae_mod
     T = 32

@@ -91,6 +91,12 @@ def mode_train(cfg: AppConfig):
         assert cfg.env.num_envs % mesh.data_size == 0, (
             f"num_envs {cfg.env.num_envs} must divide over data axis {mesh.data_size}"
         )
+        # per-shard env count must split into the same number of (strided)
+        # minibatch groups for DP == single-device minibatch equivalence
+        assert (cfg.env.num_envs // mesh.data_size) % ppo.num_minibatches == 0, (
+            f"per-shard envs {cfg.env.num_envs // mesh.data_size} must divide "
+            f"into {ppo.num_minibatches} minibatches"
+        )
         sharded_step = shard_train_step(
             mesh,
             lambda state, runner, data, pmean_axis: ppo_mod.train_step(
@@ -194,12 +200,17 @@ def mode_train(cfg: AppConfig):
         rr = np.asarray(losses_host.get("reward_raw", np.zeros(5)))
         for i, name in enumerate(("rew_body_pos", "rew_body_rot", "rew_lin_vel", "rew_ang_vel", "rew_power")[: rr.shape[0]]):
             loss_host[name] = float(rr[i])
+        extra = {}
+        if "phase_fail_hist" in losses_host:
+            # jsonl-only (the dashboard formats scalars)
+            extra["phase_fail_hist"] = np.asarray(losses_host["phase_fail_hist"]).round(4).tolist()
         metrics_log.log(
             {
                 "epoch": epoch,
                 "global_step": global_step,
                 "sps": profile.sps(),
                 **loss_host,
+                **extra,
                 **utilization.snapshot(),
             }
         )
@@ -300,10 +311,16 @@ def mode_play(cfg: AppConfig):
     act_fn, carry = make_act_fn(cfg, ppo, state)
     n_dump = min(cfg.env.num_envs, 16)  # dump a gallery, not just env 0
 
+    from phc_tpu.motionlib import get_motion_state
+
     def _play_step(d, s, a, bf):
         s, out = henv.step(env, d, s, a, body_force=bf)
         frame = forward_kinematics(env.model, s.physics)
-        return s, out.obs, frame.pos[:n_dump]
+        # time-matched reference pose for ghost markers in the replay viewer
+        # (the reference render_env's marker actors, render_env.py:306-335)
+        times = s.progress.astype(jnp.float32) * env.control_dt + s.motion_times_start
+        ref = get_motion_state(d, s.motion_ids, times, offset=s.motion_offset)
+        return s, out.obs, frame.pos[:n_dump], frame.rot[:n_dump], ref.rg_pos[:n_dump]
 
     step_j = jax.jit(_play_step)
     rng, r = jax.random.split(rng)
@@ -330,14 +347,21 @@ def mode_play(cfg: AppConfig):
         in_window = (t % pc.interval) < pc.duration
         return cur["bf"] if in_window else np.zeros((B, J, 3), np.float32)
 
-    frames = []
+    frames, frames_rot, frames_ref = [], [], []
     for t in range(cfg.env.max_episode_length):
         actions, carry = act_fn(obs, carry)
-        env_state, obs, pos = step_j(data, env_state, actions, perturb_force(t))
+        env_state, obs, pos, rot, ref_pos = step_j(data, env_state, actions, perturb_force(t))
         frames.append(np.asarray(pos))
+        frames_rot.append(np.asarray(rot))
+        frames_ref.append(np.asarray(ref_pos))
     out_path = Path(cfg.train.data_dir) / cfg.exp_name / "play_rollout.npz"
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(out_path, body_pos=np.stack(frames))
+    np.savez(
+        out_path,
+        body_pos=np.stack(frames),
+        body_rot=np.stack(frames_rot),
+        ref_pos=np.stack(frames_ref),
+    )
     print(f"rollout saved: {out_path} ({len(frames)} frames x {n_dump} envs)")
 
 

@@ -106,17 +106,99 @@ def _tiny_setup(use_amp: bool = False, n_envs: int = 16, T: int = 4):
     return ppo, data
 
 
+def _shard_map(body, mesh, in_specs, out_specs):
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+    try:
+        return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=False)
+
+
 @pytest.mark.parametrize("use_amp", [False, True])
-def test_dp_equivalence(use_amp):
-    """DP=8 must reproduce the DP=1 update (SURVEY §4 'same seeds -> same
-    update'): rollout noise derives from per-env PRNG streams and every
-    update statistic reduces over the data axis, so the sharded step equals
-    the single-device step up to float reassociation."""
+def test_dp_update_equivalence_same_trajectory(use_amp):
+    """The TIGHT half of 'same seeds -> same update' (SURVEY §4): given the
+    SAME collected experience, the DP=8 shard_map update (pmean'd grads,
+    axis-reduced masked means / running-norm stats / adv normalization /
+    all-gathered AMP replay refresh) reproduces the single-device update to
+    float tolerance. Chaos-free: no physics between the two computations,
+    so the only differences are matmul-tiling reassociations (~1e-6)."""
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from phc_tpu.env import humanoid_env as henv
+    from phc_tpu.parallel import DATA_AXIS
+    from phc_tpu.rl import ppo as ppo_mod
+
+    ppo, data = _tiny_setup(use_amp=use_amp)
+    state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
+    runner, traj, final_value, _ = jax.jit(
+        lambda s, r: ppo_mod.collect_rollout(ppo, data, s, r)
+    )(state, runner)
+    if use_amp:
+        demo_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0x5EED))(runner.env_state.rng)
+        amp_demo = henv.sample_amp_obs_demo_keyed(ppo.env, data, demo_keys)
+    else:
+        amp_demo = None
+
+    s1, l1 = jax.jit(
+        lambda st, tr, fv, demo: ppo_mod.update(
+            ppo, st, tr, amp_demo=demo, bootstrap_value=fv
+        )
+    )(state, traj, final_value, amp_demo)
+
+    mesh = make_mesh(data_axis=8, model_axis=1)
+    rep = jax.tree_util.tree_map(lambda _: P(), state)
+    traj_spec = jax.tree_util.tree_map(lambda _: P(None, DATA_AXIS), traj)
+    demo_spec = P(DATA_AXIS) if use_amp else P()
+    sm = _shard_map(
+        lambda st, tr, fv, demo: ppo_mod.update(
+            ppo, st, tr, amp_demo=demo, pmean_axis=DATA_AXIS, bootstrap_value=fv
+        ),
+        mesh.mesh,
+        in_specs=(rep, traj_spec, P(DATA_AXIS), demo_spec),
+        out_specs=(rep, P()),
+    )
+    s8, l8 = jax.jit(sm)(state, traj, final_value, amp_demo)
+
+    # discrete counting stats (fraction of samples crossing a threshold) can
+    # flip by one sample on a ulp-level logit difference — compare loosely
+    discrete = {"clipfrac", "disc_agent_acc", "disc_demo_acc"}
+    for k in l1:
+        atol = 0.02 if k in discrete else 1e-5
+        np.testing.assert_allclose(
+            np.asarray(l1[k]), np.asarray(l8[k]), rtol=1e-3, atol=atol, err_msg=f"loss {k}"
+        )
+    # params: 4 sequential Adam minibatch steps amplify matmul-tiling fp
+    # noise (rsqrt of tiny second moments) to ~1e-4 — still pure float noise
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=3e-4)
+    # running-norm stats reduce to the same global moments
+    np.testing.assert_allclose(
+        np.asarray(s1.obs_norm.mean), np.asarray(s8.obs_norm.mean), rtol=1e-5, atol=1e-6
+    )
+    assert float(np.asarray(s1.global_step)) == float(np.asarray(s8.global_step))
+    if use_amp:
+        np.testing.assert_allclose(
+            np.asarray(s1.amp_replay), np.asarray(s8.amp_replay), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_dp_full_loop_bounded_drift():
+    """The LOOSE half: full DP=8 vs DP=1 training loops from the same seeds
+    stay statistically identical over 3 epochs. Bit-equality is impossible
+    in principle — XLA matmul results depend on the batch tile size, and 32
+    chaotic physics steps amplify ~1e-7 action differences to ~1e-4 — so
+    this asserts bounded drift, with the tight per-update equivalence
+    guaranteed by test_dp_update_equivalence_same_trajectory."""
     import numpy as np
 
     from phc_tpu.rl import ppo as ppo_mod
 
-    ppo, data = _tiny_setup(use_amp=use_amp)
+    ppo, data = _tiny_setup(use_amp=False)
 
     def run(n_epochs, sharded):
         state = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
@@ -126,13 +208,13 @@ def test_dp_equivalence(use_amp):
             state = mesh.replicate(state)
             runner = mesh.shard_batch(runner)
             data_p = mesh.replicate(data)
-            step = shard_train_step(
+            wrapped = shard_train_step(
                 mesh,
                 lambda state, runner, data, pmean_axis: ppo_mod.train_step(
                     ppo, data, state, runner, pmean_axis=pmean_axis
                 ),
             )
-            step = jax.jit(lambda s, r: step(s, r, data_p))
+            step = jax.jit(lambda s, r: wrapped(s, r, data_p))
         else:
             step = jax.jit(lambda s, r: ppo_mod.train_step(ppo, data, s, r))
         losses = None
@@ -143,15 +225,9 @@ def test_dp_equivalence(use_amp):
     s1, l1 = run(3, sharded=False)
     s8, l8 = run(3, sharded=True)
 
-    for k in l1:
-        np.testing.assert_allclose(
-            np.asarray(l1[k]), np.asarray(l8[k]), rtol=2e-3, atol=2e-4, err_msg=f"loss {k}"
-        )
-    # params equal to float tolerance after 3 epochs
-    flat1 = jax.tree_util.tree_leaves(s1.params)
-    flat8 = jax.tree_util.tree_leaves(s8.params)
-    for a, b in zip(flat1, flat8):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
-    np.testing.assert_allclose(
-        float(np.asarray(s1.global_step)), float(np.asarray(s8.global_step)), rtol=0
-    )
+    assert float(np.asarray(s1.global_step)) == float(np.asarray(s8.global_step))
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s8.params)):
+        assert float(np.abs(np.asarray(a) - np.asarray(b)).max()) < 5e-3
+    for k in ("policy_loss", "value_loss", "mean_reward", "termination_rate"):
+        d1, d8 = float(np.asarray(l1[k])), float(np.asarray(l8[k]))
+        assert abs(d1 - d8) <= 0.25 * max(abs(d1), abs(d8), 0.05), f"{k}: {d1} vs {d8}"
