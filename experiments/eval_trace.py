@@ -15,6 +15,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+if "--cpu" in sys.argv:
+    # env vars cannot override this sandbox's axon pin; jax.config can.
+    # Keeps the TPU free for concurrent training/bench runs.
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+    os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0"
 import jax.numpy as jnp
 
 from phc_tpu.runtime.jax_setup import setup_cache

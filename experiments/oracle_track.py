@@ -9,13 +9,19 @@ If no  -> the engine itself cannot follow the stand-to-walk acceleration
 Runs on CPU (keeps the TPU free): JAX_PLATFORMS=cpu python experiments/oracle_track.py
 """
 import os, sys
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_compile"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_backend_optimization_level" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_backend_optimization_level=0"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
+
+# this sandbox pins JAX_PLATFORMS=axon in a way env vars cannot override;
+# jax.config is the only reliable CPU switch (keeps the TPU free)
+jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from phc_tpu.runtime.jax_setup import setup_cache

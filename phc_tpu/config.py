@@ -84,6 +84,19 @@ class EnvConfig:
     use_amp_obs: bool = False
     enable_early_termination: bool = True
     termination_distance: float = 0.25
+    # Termination-distance anneal (phc_tpu extension; None = reference
+    # parity). The any-body 0.25 m training threshold CENSORS hard
+    # segments: an episode entering a fast segment can terminate a few
+    # steps in, so the policy never experiences completing it and gets no
+    # reward gradient toward the apex (diagnosed on the sample clip's
+    # high kick, experiments/tpu_learn_r3/FINDINGS.md). When set, the
+    # training threshold starts at `termination_distance_start` and
+    # anneals linearly to `termination_distance` over
+    # `termination_anneal_epochs` epochs beginning at
+    # `termination_anneal_start_epoch` (eval thresholds are unaffected).
+    termination_distance_start: Optional[float] = None
+    termination_anneal_epochs: int = 1000
+    termination_anneal_start_epoch: int = 0
     max_episode_length: int = 300
 
     auto_pmcp: bool = False

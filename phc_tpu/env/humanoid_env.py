@@ -398,13 +398,16 @@ def step(
     state: EnvState,
     actions: jax.Array,
     body_force: Optional[jax.Array] = None,
+    termination_distance: Optional[jax.Array] = None,
 ) -> Tuple[EnvState, StepOutput]:
     """One control step: PD-actuated physics, reward, termination, masked
     auto-reset, next obs. Fully jittable; no host round trips.
 
     body_force: optional (B, J, 3) world forces at body origins for
     perturbation-robustness evaluation (the reference viewer's projectiles,
-    `render_env.py:273-295`)."""
+    `render_env.py:273-295`).
+    termination_distance: optional traced scalar overriding the static
+    threshold (the termination-distance anneal, config.EnvConfig)."""
     cfg = env.cfg
     B = state.progress.shape[0]
     motion_ids = state.motion_ids
@@ -497,12 +500,17 @@ def step(
     # ---- termination / truncation (reference `_compute_reset` :1311-1333) --
     pass_time = motion_times >= data.motion_lengths[motion_ids]
     rb = jnp.asarray(env.reset_body_ids)
+    term_dist = (
+        jnp.asarray(env.termination_distance, jnp.float32)
+        if termination_distance is None
+        else jnp.asarray(termination_distance, jnp.float32)
+    )
     done, terminated = kernels.compute_im_reset(
         frame.pos[:, rb],
         ref.rg_pos[:, rb],
         pass_time,
         progress,
-        jnp.asarray(env.termination_distance, jnp.float32),
+        term_dist,
         use_mean=env.eval_mode,
         enable_early_termination=cfg.enable_early_termination,
     )

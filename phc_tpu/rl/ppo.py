@@ -236,6 +236,22 @@ def collect_rollout(
     and the carry at each step's entry is stored for BPTT segment
     initialization in the update.
     """
+    # termination-distance anneal (see config.EnvConfig): loose early so
+    # hard segments are not censored by early termination, tightening to
+    # the parity threshold as training progresses
+    ec = ppo.env.cfg
+    if ec.termination_distance_start is not None:
+        frac = jnp.clip(
+            (state.epoch - ec.termination_anneal_start_epoch)
+            / jnp.maximum(ec.termination_anneal_epochs, 1),
+            0.0,
+            1.0,
+        )
+        term_dist = ec.termination_distance_start + frac * (
+            ec.termination_distance - ec.termination_distance_start
+        )
+    else:
+        term_dist = None
 
     def step_fn(carry, _):
         env_state, obs, h, c = carry
@@ -256,7 +272,9 @@ def collect_rollout(
                 ppo, state.params, state.obs_norm, obs, act_keys
             )
             new_h, new_c = h, c
-        env_state, out = henv.step(ppo.env, data, env_state, action)
+        env_state, out = henv.step(
+            ppo.env, data, env_state, action, termination_distance=term_dist
+        )
         traj = Trajectory(
             obs=obs,
             actions=action,
@@ -306,6 +324,8 @@ def collect_rollout(
             / jnp.maximum(env_state.phase_fail.sum(axis=-1, keepdims=True), 1e-6)
         ).mean(axis=0),
     }
+    if term_dist is not None:
+        stats["termination_distance"] = term_dist
     runner = RunnerState(env_state=env_state, obs=last_obs, lstm_h=h, lstm_c=c)
     return runner, traj, final_value, stats
 

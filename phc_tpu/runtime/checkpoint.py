@@ -46,10 +46,20 @@ def latest_checkpoint(data_dir: str, exp_id: str) -> Optional[str]:
 
 
 def load_checkpoint(path: str, target) -> Any:
-    """Restore into the structure of `target` (an abstract/concrete pytree)."""
+    """Restore into the structure of `target` (an abstract/concrete pytree).
+
+    The restore placement is the CURRENT backend's default device — made
+    explicit because checkpoints are topology- and backend-portable (a
+    TPU-saved checkpoint restores on CPU and vice versa; orbax refuses
+    sharding-less deserialization for cross-backend restores)."""
     ocp = _ocp()
     ckptr = ocp.PyTreeCheckpointer()
     import jax
+    import jax.numpy as jnp
 
-    abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, target)
-    return ckptr.restore(path, item=abstract)
+    # concrete target arrays carry the desired restore sharding (the current
+    # backend's placement); explicit restore_args are required for
+    # cross-backend restores in this orbax version
+    concrete = jax.tree_util.tree_map(jnp.asarray, target)
+    restore_args = ocp.checkpoint_utils.construct_restore_args(concrete)
+    return ckptr.restore(str(Path(path).resolve()), item=concrete, restore_args=restore_args)

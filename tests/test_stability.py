@@ -358,3 +358,49 @@ def test_phase_fail_ema_accumulates_at_termination_phase():
     length = float(np.asarray(data.motion_lengths)[0])
     k = min(int(max(t - env_cfg.phase_curriculum_lead, 0.0) / length * 8), 7)
     assert (ema.argmax(axis=-1) == k).all()
+
+
+def test_termination_distance_override_and_anneal():
+    """step() honors a traced termination-distance override, and the anneal
+    schedule in collect_rollout interpolates start -> end over the window."""
+    import dataclasses as dc
+
+    env_cfg = EnvConfig(num_envs=B, motion_file=SAMPLE_PKL)
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=1.0 / 30.0)
+    data = lib.load_motions(num_motions=B)
+    env = henv.make_env(env_cfg, motion_ids=np.zeros(B, np.int64))
+    state, obs = henv.reset_all(env, data, jax.random.PRNGKey(0))
+    # teleport ~0.6 m away: terminates at the 0.25 default, survives at 5.0
+    bad = state._replace(
+        physics=state.physics._replace(root_pos=state.physics.root_pos + jnp.asarray([0.6, 0, 0.0])),
+        progress=jnp.full(B, 5, jnp.int32),
+    )
+    zero_a = jnp.zeros((B, env.num_dofs))
+    _, out_tight = jax.jit(lambda s: henv.step(env, data, s, zero_a))(bad)
+    _, out_loose = jax.jit(
+        lambda s: henv.step(env, data, s, zero_a, termination_distance=jnp.float32(5.0))
+    )(bad)
+    assert bool(np.asarray(out_tight.terminated).all())
+    assert not bool(np.asarray(out_loose.terminated).any())
+
+    # anneal schedule value: epoch halfway through the window
+    from phc_tpu.config import TrainConfig, PolicyConfig
+    from phc_tpu.rl import ppo as ppo_mod
+
+    acfg = dc.replace(
+        env_cfg,
+        termination_distance_start=1.0,
+        termination_anneal_epochs=100,
+        termination_anneal_start_epoch=50,
+    )
+    env2 = henv.make_env(acfg, motion_ids=np.zeros(B, np.int64))
+    ppo = ppo_mod.make_ppo(
+        TrainConfig(batch_size=B * 2, minibatch_size=B),
+        env2,
+        PolicyConfig(hidden_size=8, layer_sizes=(16,)),
+    )
+    st = ppo_mod.init_state(ppo, jax.random.PRNGKey(0))
+    st = st._replace(epoch=jnp.asarray(100, jnp.int32))  # halfway: frac=0.5
+    runner = ppo_mod.init_runner(ppo, data, jax.random.PRNGKey(1))
+    _, _, _, stats = jax.jit(lambda s, r: ppo_mod.collect_rollout(ppo, data, s, r))(st, runner)
+    np.testing.assert_allclose(float(np.asarray(stats["termination_distance"])), 0.625, atol=1e-6)
