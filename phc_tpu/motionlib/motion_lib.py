@@ -58,17 +58,18 @@ class MotionData:
     """Packed device arrays for the currently-loaded motion batch.
 
     Equivalent to the flat tensors the reference builds at load time
-    (`motion_lib.py:407-420`): gts/grs/lrs/gvs/gavs/dvs plus per-motion
-    metadata. All frame arrays share a leading concatenated-frame axis and
-    are padded to a fixed capacity (shape-stable across reloads).
+    (`motion_lib.py:407-420`) — but all six per-frame fields
+    (gts/grs/lrs/gvs/gavs/dvs) live in ONE (F, 20J-3) array, frame-major.
+    `get_motion_state` then needs exactly TWO row gathers per query
+    instead of twelve: per-env dynamic gathers carry a fixed launch cost
+    on TPU, and the state query runs ~3x per env step (reward reference,
+    reset resampling, next-step obs), so gather count is the dominant term
+    (measured ~38 ms/epoch per query set at 4096 envs). The field views
+    are zero-cost static slices under jit. Frames are padded to a fixed
+    capacity (shape-stable across reloads).
     """
 
-    gts: jax.Array  # (F, J, 3) global translations
-    grs: jax.Array  # (F, J, 4) global rotations
-    lrs: jax.Array  # (F, J, 4) local rotations
-    gvs: jax.Array  # (F, J, 3) global linear velocities
-    gavs: jax.Array  # (F, J, 3) global angular velocities
-    dvs: jax.Array  # (F, J-1, 3) dof velocities
+    frames: jax.Array  # (F, 20J-3): [gts 3J | grs 4J | lrs 4J | gvs 3J | gavs 3J | dvs 3(J-1)]
     length_starts: jax.Array  # (M,) int32 first frame of each motion
     motion_lengths: jax.Array  # (M,) float32 seconds
     motion_dt: jax.Array  # (M,) float32 seconds/frame
@@ -79,6 +80,47 @@ class MotionData:
     @property
     def num_motions(self) -> int:
         return self.length_starts.shape[0]
+
+    @property
+    def num_bodies(self) -> int:
+        return (self.frames.shape[-1] + 3) // 20
+
+    # --- per-field views (static slices; zero-copy under jit) -------------
+
+    def _slices(self):
+        J = self.num_bodies
+        o = np.cumsum([0, 3 * J, 4 * J, 4 * J, 3 * J, 3 * J, 3 * (J - 1)])
+        return J, o
+
+    @property
+    def gts(self) -> jax.Array:
+        J, o = self._slices()
+        return self.frames[:, o[0] : o[1]].reshape(-1, J, 3)
+
+    @property
+    def grs(self) -> jax.Array:
+        J, o = self._slices()
+        return self.frames[:, o[1] : o[2]].reshape(-1, J, 4)
+
+    @property
+    def lrs(self) -> jax.Array:
+        J, o = self._slices()
+        return self.frames[:, o[2] : o[3]].reshape(-1, J, 4)
+
+    @property
+    def gvs(self) -> jax.Array:
+        J, o = self._slices()
+        return self.frames[:, o[3] : o[4]].reshape(-1, J, 3)
+
+    @property
+    def gavs(self) -> jax.Array:
+        J, o = self._slices()
+        return self.frames[:, o[4] : o[5]].reshape(-1, J, 3)
+
+    @property
+    def dvs(self) -> jax.Array:
+        J, o = self._slices()
+        return self.frames[:, o[5] : o[6]].reshape(-1, J - 1, 3)
 
 
 def _calc_frame_blend(times, lengths, num_frames, dt):
@@ -110,17 +152,25 @@ def get_motion_state(
     f0l = f0 + data.length_starts[motion_ids]
     f1l = f1 + data.length_starts[motion_ids]
 
-    b = blend[:, None, None]
+    # exactly TWO row gathers for all six fields (see MotionData docstring)
+    row0 = data.frames[f0l]  # (B, 20J-3)
+    row1 = data.frames[f1l]
+    J, o = data._slices()
+    B = row0.shape[0]
 
-    rg_pos = (1.0 - b) * data.gts[f0l] + b * data.gts[f1l]
+    def fld(row, i, shape):
+        return row[:, o[i] : o[i + 1]].reshape((B,) + shape)
+
+    b = blend[:, None, None]
+    rg_pos = (1.0 - b) * fld(row0, 0, (J, 3)) + b * fld(row1, 0, (J, 3))
     if offset is not None:
         rg_pos = rg_pos + offset[:, None, :]
-    body_vel = (1.0 - b) * data.gvs[f0l] + b * data.gvs[f1l]
-    body_ang_vel = (1.0 - b) * data.gavs[f0l] + b * data.gavs[f1l]
-    dof_vel = (1.0 - b) * data.dvs[f0l] + b * data.dvs[f1l]
+    body_vel = (1.0 - b) * fld(row0, 3, (J, 3)) + b * fld(row1, 3, (J, 3))
+    body_ang_vel = (1.0 - b) * fld(row0, 4, (J, 3)) + b * fld(row1, 4, (J, 3))
+    dof_vel = (1.0 - b) * fld(row0, 5, (J - 1, 3)) + b * fld(row1, 5, (J - 1, 3))
 
-    local_rot = T.slerp(data.lrs[f0l], data.lrs[f1l], b)
-    rb_rot = T.slerp(data.grs[f0l], data.grs[f1l], b)
+    local_rot = T.slerp(fld(row0, 2, (J, 4)), fld(row1, 2, (J, 4)), b)
+    rb_rot = T.slerp(fld(row0, 1, (J, 4)), fld(row1, 1, (J, 4)), b)
 
     # exp-map dof coordinates of the non-root joints (reference :670-673)
     dof_pos = T.quat_to_exp_map(local_rot[:, 1:]).reshape(local_rot.shape[0], -1)
@@ -150,7 +200,8 @@ def get_root_pos(data: MotionData, motion_ids: jax.Array, motion_times: jax.Arra
     f0l = f0 + data.length_starts[motion_ids]
     f1l = f1 + data.length_starts[motion_ids]
     b = blend[:, None]
-    return (1.0 - b) * data.gts[f0l, 0] + b * data.gts[f1l, 0]
+    # root position = first 3 columns of the packed frame rows
+    return (1.0 - b) * data.frames[f0l, 0:3] + b * data.frames[f1l, 0:3]
 
 
 def sample_time_interval(
@@ -461,13 +512,20 @@ class MotionLib:
             else np.zeros((len(clips), 10), np.float32)
         )
 
+        F = gts.shape[0]
+        packed = np.concatenate(
+            [
+                gts.reshape(F, -1),
+                grs.reshape(F, -1),
+                lrs.reshape(F, -1),
+                gvs.reshape(F, -1),
+                gavs.reshape(F, -1),
+                dvs.reshape(F, -1),
+            ],
+            axis=1,
+        )
         return MotionData(
-            gts=jnp.asarray(padf(gts)),
-            grs=jnp.asarray(padf(grs)),
-            lrs=jnp.asarray(padf(lrs)),
-            gvs=jnp.asarray(padf(gvs)),
-            gavs=jnp.asarray(padf(gavs)),
-            dvs=jnp.asarray(padf(dvs)),
+            frames=jnp.asarray(padf(packed)),
             length_starts=jnp.asarray(starts),
             motion_lengths=jnp.asarray((num_frames - 1) / fps_arr, dtype=jnp.float32),
             motion_dt=jnp.asarray(1.0 / fps_arr, dtype=jnp.float32),
