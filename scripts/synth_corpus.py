@@ -102,6 +102,59 @@ def rotate_heading(grot: np.ndarray, trans: np.ndarray, yaw: float):
     return g.astype(np.float32), t
 
 
+def main_graded(out_path: str = "data/synth_corpus_graded.pkl"):
+    """Speed-graded curriculum corpus targeting the hard segment.
+
+    The r3 capability finding (experiments/tpu_learn_r3/FINDINGS.md): the
+    sample clip's full-speed kick resists single-clip training because the
+    reference's 99% comes from a corpus where each skill exists across a
+    dense difficulty gradient. This builds that gradient explicitly:
+    full-clip time warps at 10 speeds from 0.5x to 1.0x (plus mirrors),
+    and kick-window crops (the hard segment with lead-in) at the same
+    grades — PMCP then walks the policy up the speed ladder.
+    """
+    raw = joblib.load(SAMPLE)
+    (base_key, base), = list(raw.items())[:1]
+    grot0 = np.asarray(base["pose_quat_global"], np.float32)
+    trans0 = np.asarray(base["root_trans_offset"], np.float32)
+    fps = float(base.get("fps", 30))
+    F = grot0.shape[0]
+
+    out = {}
+
+    def add(key, g, t):
+        out[key] = {
+            "pose_quat_global": g,
+            "root_trans_offset": t,
+            "fps": fps,
+            "beta": np.zeros(16, np.float32),
+            "gender": "neutral",
+        }
+
+    # kick window: ref frames ~20..70 at 30 fps (lead-in + kick + recovery)
+    kick = (max(0, 20), min(F, 75))
+    speeds = np.linspace(0.5, 1.0, 10)
+    for sp in speeds:
+        for mirrored in (False, True):
+            tag = f"s{sp:.2f}{'_mir' if mirrored else ''}"
+            gs, ts = timewarp_clip(grot0, trans0, float(sp))
+            if mirrored:
+                gs, ts = mirror_clip(gs, ts)
+            add(f"{base_key}_full_{tag}", gs, ts)
+            gk, tk = timewarp_clip(
+                grot0[kick[0] : kick[1]], trans0[kick[0] : kick[1]], float(sp)
+            )
+            if mirrored:
+                gk, tk = mirror_clip(gk, tk)
+            add(f"{base_key}_kick_{tag}", gk, tk)
+
+    out_p = Path(out_path)
+    out_p.parent.mkdir(parents=True, exist_ok=True)
+    joblib.dump(out, out_p)
+    print(f"wrote {len(out)} graded clips to {out_p}")
+    return out_p
+
+
 def main(out_path: str = "data/synth_corpus.pkl"):
     raw = joblib.load(SAMPLE)
     (base_key, base), = list(raw.items())[:1]
@@ -148,4 +201,11 @@ def main(out_path: str = "data/synth_corpus.pkl"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else "data/synth_corpus.pkl")
+    if "--graded" in sys.argv:
+        main_graded(
+            sys.argv[sys.argv.index("--out") + 1]
+            if "--out" in sys.argv
+            else "data/synth_corpus_graded.pkl"
+        )
+    else:
+        main(sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else "data/synth_corpus.pkl")
