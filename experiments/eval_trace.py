@@ -35,16 +35,33 @@ from phc_tpu.rl import ppo as ppo_mod, running_norm
 from phc_tpu.runtime import checkpoint as ckpt_mod
 from phc_tpu.body_sets import BODY_NAMES
 
+def _pop_opt(flag, default=None):
+    if flag in sys.argv:
+        i = sys.argv.index(flag)
+        v = sys.argv[i + 1]
+        del sys.argv[i : i + 2]
+        return v
+    return default
+
+motion_file = _pop_opt("--motion-file", "/root/reference/sample_data/cmu_mocap_05_06.pkl")
+motion_key = _pop_opt("--key")  # substring match against lib.motion_keys
+n_steps = int(_pop_opt("--steps", "80"))
 ckpt = sys.argv[1] if len(sys.argv) > 1 else None
 
 cfg = AppConfig()
 B = 4
 cfg.env.num_envs = B
-cfg.env.motion_file = "/root/reference/sample_data/cmu_mocap_05_06.pkl"
+cfg.env.motion_file = motion_file
 
 lib = MotionLib(cfg.env.motion_file, min_length=cfg.env.min_motion_len, max_length=600,
                 is_deterministic=True, step_dt=1.0 / 30.0, seed=0)
-data = lib.load_motions(num_motions=B, sample_idxes=np.zeros(B, np.int64),
+mi = 0
+if motion_key:
+    hits = [i for i, k in enumerate(lib.motion_keys) if motion_key in k]
+    assert hits, f"no motion key matches {motion_key!r}: {lib.motion_keys[:8]}"
+    mi = hits[0]
+    print(f"tracing motion {mi}: {lib.motion_keys[mi]}")
+data = lib.load_motions(num_motions=B, sample_idxes=np.full(B, mi, np.int64),
                         randomize_heading=False, deterministic_crop=True)
 env = henv.make_env(cfg.env, motion_ids=np.arange(B, dtype=np.int64), eval_mode=True)
 ppo = ppo_mod.make_ppo(cfg.train, env, cfg.policy)
@@ -71,7 +88,7 @@ def full(d, s, obs, t):
 step_j = jax.jit(full)
 es, obs = jax.jit(lambda d, r: henv.reset_all(env, d, r))(data, jax.random.PRNGKey(0))
 
-n = 80
+n = n_steps
 for t in range(n):
     es, obs, term, dev, z, zr = step_j(data, es, obs, jnp.float32(t))
     dev0 = np.asarray(dev)[0]

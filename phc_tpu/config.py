@@ -189,9 +189,14 @@ class TrainConfig:
 
     learning_rate: float = 1e-4
     # exponential LR decay per epoch with a floor (reference
-    # scripts/train.py:352-356); active whenever lr_decay_rate > 0
+    # scripts/train.py:352-356); active whenever lr_decay_rate > 0.
+    # lr_decay_start_epoch offsets the schedule clock: a run resumed from a
+    # late checkpoint can restart the decay from its own first epoch
+    # (epochs before the offset see the full learning_rate), which the r3c
+    # experiment found necessary for continued progress on a new corpus.
     lr_decay_rate: float = 1.5e-4
     lr_decay_floor: float = 0.2
+    lr_decay_start_epoch: int = 0
 
     update_epochs: int = 4
     bptt_horizon: int = 8

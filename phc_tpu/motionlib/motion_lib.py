@@ -343,6 +343,10 @@ class MotionLib:
             self._sampling_prob[:] = 1.0 / self.num_unique_motions
 
     @property
+    def sampling_prob(self) -> np.ndarray:
+        return self._sampling_prob.copy()
+
+    @property
     def termination_history(self) -> np.ndarray:
         return self._termination_history.copy()
 

@@ -1386,7 +1386,9 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
         # hard velocity cap (PhysX articulation parity; see PhysicsModel)
         vel = jnp.clip(vel, -model.max_velocity, model.max_velocity)
         # first-order contact-state update against the frozen Jacobian
-        if "qcontact" not in skip:
+        # (separate knockout key from 'qcontact' so bench_profile can
+        # attribute the force matvec and the v_m integration individually)
+        if "vmupdate" not in skip:
             v_m = v_m + dt * jnp.einsum("bnm,bn->bm", cs.Jm, qacc, precision=_CPREC)
         pen_i = pen_i - dt * v_m[:, 2 * Am :]
 

@@ -141,6 +141,9 @@ def make_ppo(cfg: TrainConfig, env: henv.HumanoidEnv, policy_cfg) -> PPO:
 
         def lr_schedule(count):
             epoch = jnp.floor(count / steps_per_epoch)
+            # schedule clock starts at lr_decay_start_epoch (resume-with-
+            # reset-LR: see TrainConfig.lr_decay_start_epoch)
+            epoch = jnp.maximum(epoch - cfg.lr_decay_start_epoch, 0.0)
             decay = jnp.maximum(jnp.exp(-cfg.lr_decay_rate * epoch), cfg.lr_decay_floor)
             return cfg.learning_rate * decay
 
@@ -394,9 +397,9 @@ def update(
     # same (global) normalizer — required for DP=N == DP=1
     obs_norm = running_norm.update(state.obs_norm, traj.obs, axis_name=pmean_axis)
     amp_norm = state.amp_norm
-    # always advance the learner rng so the next epoch's rollout draws a
-    # fresh action-noise stream (previously only the AMP branch split it,
-    # so AMP-off runs re-used the same noise sequence every epoch)
+    # advance the learner rng every epoch; its remaining consumers are the
+    # AMP replay-buffer refresh and the minibatch permutation (rollout
+    # action noise draws from per-env EnvState.rng, not from here)
     rng, _ = jax.random.split(state.rng)
 
     rewards = traj.rewards

@@ -39,15 +39,21 @@ def update(state: RunningNormState, batch: jax.Array, axis_name=None) -> Running
 
     axis_name: optional mesh axis to reduce the batch statistics over —
     under data parallelism every shard must blend in the GLOBAL batch
-    moments (computed in moment form, var = E[x^2] - E[x]^2, so per-shard
-    means average exactly with equal shard sizes)."""
+    moments. Moments are taken of (x - running mean) rather than of x:
+    the one-pass var = E[x^2] - E[x]^2 form cancels catastrophically in
+    float32 for features with |mean| >> std (e.g. root height ~0.9 with
+    mm-scale spread), and centering on the nearby running mean removes
+    the cancellation while still composing exactly with the pmean
+    reduction (equal shard sizes => shifted per-shard moments average to
+    the shifted global moments)."""
     x = batch.reshape(-1, batch.shape[-1]).astype(jnp.float32)
-    m1 = x.mean(axis=0)
-    m2 = (x * x).mean(axis=0)
+    xc = x - state.mean
+    m1 = xc.mean(axis=0)
+    m2 = (xc * xc).mean(axis=0)
     if axis_name is not None:
         m1 = jax.lax.pmean(m1, axis_name)
         m2 = jax.lax.pmean(m2, axis_name)
-    mean = m1
+    mean = m1 + state.mean
     var = jnp.maximum(m2 - m1 * m1, 0.0)
     w = 1.0 / state.count
     return RunningNormState(

@@ -74,6 +74,7 @@ class _EvalAcc(NamedTuple):
     played: jax.Array  # (B,) int32
     sum_step_mpjpe: jax.Array  # (B,) env-reported per-step mpjpe sum (m)
     sum_g: jax.Array  # (B,) global mpjpe sum (m)
+    sum_g_alive: jax.Array  # (B,) global mpjpe sum over pre-termination steps
     sum_l: jax.Array  # (B,) root-relative mpjpe sum (m)
     sum_pa: jax.Array  # (B,) procrustes-aligned mpjpe sum (m)
     sum_vel: jax.Array  # (B,) velocity-distance sum (m/frame)
@@ -92,6 +93,7 @@ def _init_acc(B: int, J: int) -> _EvalAcc:
         played=jnp.zeros((B,), jnp.int32),
         sum_step_mpjpe=z,
         sum_g=z,
+        sum_g_alive=z,
         sum_l=z,
         sum_pa=z,
         sum_vel=z,
@@ -129,27 +131,51 @@ def _pa_mpjpe(pred: jax.Array, gt: jax.Array) -> jax.Array:
     metrics._procrustes_align: similarity alignment rotation+scale+
     translation of pred onto gt). pred/gt: (B, J, 3) -> (B,).
 
-    The optimal rotation comes from the polar decomposition of the
-    cross-covariance H = p^T g (Kabsch: R = polar(H)^T for det(H) > 0 —
-    always the case for real body point clouds), computed with the Newton
-    iteration X <- (X + X^-T)/2 on closed-form 3x3 inverses instead of a
-    batched SVD — XLA's SVD lowering compiles pathologically slowly on the
-    tunneled TPU backend, while this is a handful of fused elementwise ops.
-    The similarity scale is trace(R H) / var(p) (= sum of singular values
-    over var_p, identical to the SVD form)."""
+    The optimal PROPER rotation comes from Horn's quaternion method: the
+    unit quaternion maximizing sum_a g_a . (R p_a) = tr(R S) (S = sum
+    p_a g_a^T) is the top eigenvector of the symmetric 4x4 matrix K(S),
+    found here by shifted power iteration (batched 4x4 matvecs — no SVD,
+    whose XLA lowering compiles pathologically slowly on the tunneled TPU
+    backend). Unlike the polar-decomposition shortcut R = polar(S)^T this
+    is correct for det(S) < 0 too (the earlier polar form returned a
+    reflection there — the det(S)<0 case of metrics._procrustes_align's
+    D = diag(1,1,sign det) correction). The similarity scale is
+    tr(R S) / var(p) = lambda_max(K) / var(p)."""
     mu_p = pred.mean(axis=1, keepdims=True)
     mu_g = gt.mean(axis=1, keepdims=True)
     p = pred - mu_p
     g = gt - mu_g
-    H = jnp.einsum("bji,bjk->bik", p, g)
-    # normalize for Newton convergence; guard degenerate (all-zero) clouds
-    norm = jnp.sqrt((H**2).sum(axis=(1, 2), keepdims=True))
-    X = H / jnp.maximum(norm, 1e-12)
-    for _ in range(12):
-        X = 0.5 * (X + jnp.swapaxes(_inv3(X), 1, 2))
-    R = jnp.swapaxes(X, 1, 2)  # polar(H)^T
+    S = jnp.einsum("bji,bjk->bik", p, g)  # S_ik = sum_a p_{a,i} g_{a,k}
+    s = S / jnp.maximum(
+        jnp.sqrt((S**2).sum(axis=(1, 2), keepdims=True)), 1e-12
+    )  # scale-normalized for a uniform power-iteration shift
+    Sxx, Sxy, Sxz = s[..., 0, 0], s[..., 0, 1], s[..., 0, 2]
+    Syx, Syy, Syz = s[..., 1, 0], s[..., 1, 1], s[..., 1, 2]
+    Szx, Szy, Szz = s[..., 2, 0], s[..., 2, 1], s[..., 2, 2]
+    row0 = jnp.stack([Sxx + Syy + Szz, Syz - Szy, Szx - Sxz, Sxy - Syx], -1)
+    row1 = jnp.stack([Syz - Szy, Sxx - Syy - Szz, Sxy + Syx, Szx + Sxz], -1)
+    row2 = jnp.stack([Szx - Sxz, Sxy + Syx, -Sxx + Syy - Szz, Syz + Szy], -1)
+    row3 = jnp.stack([Sxy - Syx, Szx + Sxz, Syz + Szy, -Sxx - Syy + Szz], -1)
+    K = jnp.stack([row0, row1, row2, row3], -2)  # (B, 4, 4) symmetric
+    # ||K||_F >= |lambda_min| so K + 2I (||s||_F = 1 => ||K||_F <= 2*sqrt(2)/..
+    # bounded by ~2) is PSD with lambda_max(K) dominant; 40 fused 4x4
+    # matvecs converge far past float32 resolution for non-degenerate clouds
+    Ks = K + 4.0 * jnp.eye(4)
+    q = jnp.full(pred.shape[:1] + (4,), 0.5, pred.dtype)
+    for _ in range(40):
+        q = jnp.einsum("bij,bj->bi", Ks, q)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+        ],
+        -2,
+    )  # (B, 3, 3) proper rotation with R p ~ g
     var_p = (p**2).sum(axis=(1, 2))
-    scale = jnp.einsum("bij,bji->b", R, H) / jnp.maximum(var_p, 1e-8)
+    scale = jnp.einsum("bij,bji->b", R, S) / jnp.maximum(var_p, 1e-8)
     aligned = scale[:, None, None] * jnp.einsum("bij,bkj->bki", R, p) + mu_g
     return jnp.linalg.norm(aligned - gt, axis=-1).mean(axis=-1)
 
@@ -195,12 +221,21 @@ def evaluate_policy(
             pred, gt = frame.pos, ref.rg_pos
 
             in_motion = t < motion_steps
+            # latch BEFORE updating: once every env has terminated the sweep
+            # is over — freeze all accumulators so the reported window is
+            # [0, min(n_eff, first all-dead step)) independent of how the
+            # rollout is chunked (the host loop only checks all_term at
+            # chunk boundaries, so without the latch up to EVAL_CHUNK-1
+            # post-termination auto-reset frames would leak into the sums)
+            all_dead = jnp.all(acc.terminated)
             terminated = acc.terminated | (out.terminated & in_motion)
-            played = acc.played + ((~terminated) & in_motion).astype(jnp.int32)
+            alive = (~terminated) & in_motion
+            played = acc.played + alive.astype(jnp.int32)
 
-            # metric window: frames [0, n_eff) regardless of termination
-            # (matches the host harness / reference accumulation window)
-            w = (t < n_eff).astype(jnp.float32)
+            # metric window: frames [0, n_eff) regardless of per-env
+            # termination (the reference accumulation window), frozen once
+            # ALL envs are dead
+            w = (t < n_eff).astype(jnp.float32) * (~all_dead)
             w_vel = w * (t >= 1)
             w_acc = w * (t >= 2)
             mg = jnp.linalg.norm(pred - gt, axis=-1).mean(axis=-1)
@@ -221,6 +256,7 @@ def evaluate_policy(
                 played=played,
                 sum_step_mpjpe=acc.sum_step_mpjpe + w * out.mpjpe,
                 sum_g=acc.sum_g + w * mg,
+                sum_g_alive=acc.sum_g_alive + alive.astype(jnp.float32) * mg,
                 sum_l=acc.sum_l + w * ml,
                 sum_pa=acc.sum_pa + w * mpa,
                 sum_vel=acc.sum_vel + w_vel * vel,
@@ -247,6 +283,7 @@ def evaluate_policy(
             "motion_steps",
             "mpjpe",
             "mpjpe_g",
+            "mpjpe_g_alive",
             "mpjpe_l",
             "mpjpe_pa",
             "vel_dist",
@@ -301,6 +338,13 @@ def evaluate_policy(
         per_motion["motion_steps"].append(motion_steps[:real])
         per_motion["mpjpe"].append((a.sum_step_mpjpe / np.maximum(ne, 1))[:real])
         per_motion["mpjpe_g"].append((a.sum_g / ne * 1000.0)[:real])
+        # while-alive global mpjpe: masked to pre-termination steps, so
+        # failed clips report their tracking quality instead of post-fall
+        # drift (VERDICT r3 weak #6; the plain mpjpe_g column keeps the
+        # reference's full-window contract for parity)
+        per_motion["mpjpe_g_alive"].append(
+            (a.sum_g_alive / np.maximum(a.played.astype(np.float64), 1) * 1000.0)[:real]
+        )
         per_motion["mpjpe_l"].append((a.sum_l / ne * 1000.0)[:real])
         per_motion["mpjpe_pa"].append((a.sum_pa / ne * 1000.0)[:real])
         per_motion["vel_dist"].append(
@@ -354,6 +398,7 @@ def evaluate_policy(
         "success": succ,
         "mpjpe": pm["mpjpe"],
         "mpjpe_g": pm["mpjpe_g"],
+        "mpjpe_g_alive": pm["mpjpe_g_alive"],
     }
     return results, by_motion, failed_keys
 
@@ -366,10 +411,13 @@ def write_by_motion_tsv(path, by_motion: dict) -> None:
     os.makedirs(os.path.dirname(str(path)), exist_ok=True)
     keys = by_motion["motion_keys"]
     with open(path, "w") as f:
-        f.write("motion_key\tsuccess\tmotion_length\tplayed_steps\tmpjpe\tmpjpe_g\n")
+        f.write(
+            "motion_key\tsuccess\tmotion_length\tplayed_steps\tmpjpe\tmpjpe_g\tmpjpe_g_alive\n"
+        )
         for i, k in enumerate(keys):
             f.write(
                 f"{k}\t{int(by_motion['success'][i])}\t{int(by_motion['motion_length'][i])}"
                 f"\t{int(by_motion['played_steps'][i])}\t{float(by_motion['mpjpe'][i]):.5f}"
-                f"\t{float(by_motion['mpjpe_g'][i]):.2f}\n"
+                f"\t{float(by_motion['mpjpe_g'][i]):.2f}"
+                f"\t{float(by_motion['mpjpe_g_alive'][i]):.2f}\n"
             )

@@ -167,7 +167,10 @@ class StatsAggregator:
 
     def add_dict(self, d: dict, prefix: str = ""):
         for k, v in d.items():
-            v = np.asarray(v)
+            try:
+                v = np.asarray(v, dtype=np.float64)
+            except (TypeError, ValueError):
+                continue  # non-numeric payloads (e.g. pmcp/top_clips) are jsonl-only
             if v.ndim == 0:
                 self.add(prefix + k, float(v))
             else:

@@ -300,10 +300,11 @@ def main():
         ("- bias", {"bias"}),
         ("- contact build", {"contacts"}),
         ("- gram", {"gram"}),
-        ("- qcontact matvecs", {"qcontact"}),
+        ("- qcontact matvec", {"qcontact"}),
+        ("- vm update", {"vmupdate"}),
         ("- solve", {"solve"}),
-        ("- all contact+solve", {"contacts", "gram", "qcontact", "solve"}),
-        ("bare", {"mass", "bias", "contacts", "gram", "qcontact", "solve"}),
+        ("- all contact+solve", {"contacts", "gram", "qcontact", "vmupdate", "solve"}),
+        ("bare", {"mass", "bias", "contacts", "gram", "qcontact", "vmupdate", "solve"}),
     ]:
         eng._DEBUG_SKIP = frozenset(sk)
         try:

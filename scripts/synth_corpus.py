@@ -155,6 +155,67 @@ def main_graded(out_path: str = "data/synth_corpus_graded.pkl"):
     return out_p
 
 
+def main_ctx(out_path: str = "data/synth_corpus_ctx.pkl"):
+    """Context-graded curriculum corpus: the segment->full-clip bridge.
+
+    The r3 graded ladder taught the kick as a SEGMENT (reset at frame 20
+    == the segment's own t=0) but every full clip still dies just before
+    kick onset: the r4 eval_trace on `full_s0.50` shows the ARMS diverging
+    (L_Hand 1.0 m) at original frames ~15-21 when the policy arrives there
+    with ~9 cm of accumulated drift instead of a clean reset. The missing
+    rungs are therefore graded CONTEXT: the same kick window with
+    progressively longer lead-ins (so reaching the wind-up from flight is
+    its own rung) and progressively longer tails (so the post-kick clip
+    extends toward the full 223 frames). Keys for the kick/full windows
+    match `main_graded` exactly, keeping eval TSVs comparable across
+    rounds."""
+    raw = joblib.load(SAMPLE)
+    (base_key, base), = list(raw.items())[:1]
+    grot0 = np.asarray(base["pose_quat_global"], np.float32)
+    trans0 = np.asarray(base["root_trans_offset"], np.float32)
+    fps = float(base.get("fps", 30))
+    F = grot0.shape[0]
+
+    out = {}
+
+    def add(key, g, t):
+        out[key] = {
+            "pose_quat_global": g,
+            "root_trans_offset": t,
+            "fps": fps,
+            "beta": np.zeros(16, np.float32),
+            "gender": "neutral",
+        }
+
+    # windows in original-frame coordinates: the r3 kick segment, two
+    # lead-in extensions back to the clip start, two tail extensions, and
+    # the full clip
+    windows = [
+        ("kick", 20, 75),
+        ("lead10", 10, 75),
+        ("lead0", 0, 75),
+        ("ext110", 0, 110),
+        ("ext150", 0, 150),
+        ("full", 0, F),
+    ]
+    speeds = np.linspace(0.5, 1.0, 10)
+    for wname, a, b in windows:
+        b = min(b, F)
+        for sp in speeds:
+            for mirrored in (False, True):
+                tag = f"s{sp:.2f}{'_mir' if mirrored else ''}"
+                g, t = timewarp_clip(grot0[a:b], trans0[a:b], float(sp))
+                if mirrored:
+                    g, t = mirror_clip(g, t)
+                add(f"{base_key}_{wname}_{tag}", g, t)
+
+    out_p = Path(out_path)
+    out_p.parent.mkdir(parents=True, exist_ok=True)
+    joblib.dump(out, out_p)
+    print(f"wrote {len(out)} context-graded clips to {out_p}")
+    return out_p
+
+
 def main(out_path: str = "data/synth_corpus.pkl"):
     raw = joblib.load(SAMPLE)
     (base_key, base), = list(raw.items())[:1]
@@ -206,6 +267,12 @@ if __name__ == "__main__":
             sys.argv[sys.argv.index("--out") + 1]
             if "--out" in sys.argv
             else "data/synth_corpus_graded.pkl"
+        )
+    elif "--ctx" in sys.argv:
+        main_ctx(
+            sys.argv[sys.argv.index("--out") + 1]
+            if "--out" in sys.argv
+            else "data/synth_corpus_ctx.pkl"
         )
     else:
         main(sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else "data/synth_corpus.pkl")

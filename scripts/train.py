@@ -107,16 +107,37 @@ def mode_train(cfg: AppConfig):
     else:
         train_step = jax.jit(lambda d, s, r: ppo_mod.train_step(ppo, d, s, r))
 
-    # restore: explicit path wins; otherwise auto-resume from the latest
-    # checkpoint of this experiment (reference `try_load_checkpoint`,
-    # clean_pufferl/utils.py:45-56 — optimizer state and counters included,
-    # since the whole PPOState pytree is the checkpoint unit)
-    resume_path = cfg.checkpoint_path or ckpt_mod.latest_checkpoint(
-        cfg.train.data_dir, cfg.exp_name
+    # restore: auto-resume from this experiment's latest checkpoint wins
+    # over an explicit seed path (so a run seeded from another experiment's
+    # checkpoint does not re-load the stale seed after its own restarts);
+    # reference `try_load_checkpoint`, clean_pufferl/utils.py:45-56 —
+    # optimizer state and counters included, since the whole PPOState
+    # pytree is the checkpoint unit
+    resume_path = (
+        ckpt_mod.latest_checkpoint(cfg.train.data_dir, cfg.exp_name) or cfg.checkpoint_path
     )
     if resume_path:
         state = ckpt_mod.load_checkpoint(resume_path, state)
         print(f"restored checkpoint {resume_path}")
+        # curriculum sidecar: PMCP termination history + per-(env, phase)
+        # failure EMA survive process restarts (without this, a kill/resume
+        # silently reset both curricula — SURVEY §5.3's recovery story now
+        # covers the sampling state too, not just the learner pytree)
+        cur_p = Path(resume_path + ".curriculum.npz")
+        if cur_p.exists():
+            cur = np.load(cur_p, allow_pickle=False)
+            if lib.set_termination_history(cur["termination_history"]):
+                print(f"restored PMCP history ({cur_p.name})")
+            pf = cur["phase_fail"] if "phase_fail" in cur.files else None
+            if (
+                cfg.env.phase_curriculum
+                and pf is not None
+                and pf.shape == tuple(runner.env_state.phase_fail.shape)
+            ):
+                runner = runner._replace(
+                    env_state=runner.env_state._replace(phase_fail=jnp.asarray(pf))
+                )
+                print("restored phase-curriculum failure EMA")
 
     if use_dp:
         state = mesh.replicate(state)
@@ -223,11 +244,22 @@ def mode_train(cfg: AppConfig):
             path = ckpt_mod.save_checkpoint(
                 cfg.train.data_dir, cfg.exp_name, epoch, state, config_to_dict(cfg)
             )
+            save_curriculum_sidecar(path, cfg, lib, runner)
             print(f"checkpoint saved: {path}")
 
     utilization.stop()
     path = ckpt_mod.save_checkpoint(cfg.train.data_dir, cfg.exp_name, epoch, state, config_to_dict(cfg))
+    save_curriculum_sidecar(path, cfg, lib, runner)
     print(f"final checkpoint: {path}")
+
+
+def save_curriculum_sidecar(ckpt_path: str, cfg: AppConfig, lib, runner) -> None:
+    """Persist host-side curriculum state next to the checkpoint (PMCP
+    termination history + phase-failure EMA; restored by mode_train)."""
+    arrays = {"termination_history": lib.termination_history}
+    if cfg.env.phase_curriculum:
+        arrays["phase_fail"] = np.asarray(jax.device_get(runner.env_state.phase_fail))
+    np.savez(ckpt_path + ".curriculum.npz", **arrays)
 
 
 def make_act_fn(cfg: AppConfig, ppo, state):
@@ -280,6 +312,17 @@ def run_eval(cfg: AppConfig, lib, ppo, state, epoch: int = 0):
         lib.update_hard_sampling_weight(failed_keys)
     elif cfg.env.auto_pmcp_soft:
         lib.update_soft_sampling_weight(failed_keys)
+    if cfg.env.auto_pmcp or cfg.env.auto_pmcp_soft:
+        # evidence that the curriculum is discriminating: weight entropy vs
+        # uniform, and where the mass is going (top clips by weight)
+        p = lib.sampling_prob
+        nz = p[p > 0]
+        results["pmcp/weight_entropy"] = float(-(nz * np.log(nz)).sum())
+        results["pmcp/uniform_entropy"] = float(np.log(len(p)))
+        top = np.argsort(-p)[:5]
+        results["pmcp/top_clips"] = [
+            [str(lib.motion_keys[i]), round(float(p[i]), 4)] for i in top
+        ]
     return results
 
 

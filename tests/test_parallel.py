@@ -167,10 +167,21 @@ def test_dp_update_equivalence_same_trajectory(use_amp):
     # discrete counting stats (fraction of samples crossing a threshold) can
     # flip by one sample on a ulp-level logit difference — compare loosely
     discrete = {"clipfrac", "disc_agent_acc", "disc_demo_acc"}
+    # old_approx_kl = mean(-log ratio) is FIRST-order in any logit
+    # perturbation, and the fixed logstd -2.9 amplifies mu differences by
+    # 1/std^2 ~ 330x — so the running-norm variance's float-reassociation
+    # difference between the 8-way pmean and the single-device reduce
+    # (~1e-7 rel, identical math) lands at ~1e-4 here. Its second-order
+    # sibling approx_kl stays within the tight tolerance.
+    # grad_norm is reported from the LAST of 16 sequential minibatch Adam
+    # steps, so it carries the same accumulated float-noise amplification
+    # the params comparison below documents — same tolerance bucket.
+    late_chain = {"old_approx_kl", "grad_norm"}
     for k in l1:
-        atol = 0.02 if k in discrete else 1e-5
+        atol = 0.02 if k in discrete else (5e-4 if k in late_chain else 1e-5)
+        rtol = 5e-3 if k in late_chain else 1e-3
         np.testing.assert_allclose(
-            np.asarray(l1[k]), np.asarray(l8[k]), rtol=1e-3, atol=atol, err_msg=f"loss {k}"
+            np.asarray(l1[k]), np.asarray(l8[k]), rtol=rtol, atol=atol, err_msg=f"loss {k}"
         )
     # params: 4 sequential Adam minibatch steps amplify matmul-tiling fp
     # noise (rsqrt of tiny second moments) to ~1e-4 — still pure float noise
@@ -179,6 +190,12 @@ def test_dp_update_equivalence_same_trajectory(use_amp):
     # running-norm stats reduce to the same global moments
     np.testing.assert_allclose(
         np.asarray(s1.obs_norm.mean), np.asarray(s8.obs_norm.mean), rtol=1e-5, atol=1e-6
+    )
+    # var: the first update centers at the init running mean (zero), so the
+    # moment difference m2 - m1^2 still cancels for high-|mean| features and
+    # the shard-reduce order shows up at ~1e-6 absolute on tiny variances
+    np.testing.assert_allclose(
+        np.asarray(s1.obs_norm.var), np.asarray(s8.obs_norm.var), rtol=1e-4, atol=1e-6
     )
     assert float(np.asarray(s1.global_step)) == float(np.asarray(s8.global_step))
     if use_amp:
