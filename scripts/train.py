@@ -152,6 +152,61 @@ def mode_train(cfg: AppConfig):
     epoch = int(np.asarray(state.epoch))
     global_step = float(np.asarray(state.global_step))
 
+    # one-epoch-deep pipeline of the per-epoch metrics fetch: (epoch,
+    # device global_step, device losses) dispatched last iteration,
+    # drained while the next epoch runs on device
+    pending = None
+    sps_window = []  # (wall_time, global_step) ring for instantaneous SPS
+
+    def drain_pending(p):
+        p_epoch, g_dev, losses_dev = p
+        global_host, losses_host = jax.device_get((g_dev, losses_dev))
+        new_global = float(global_host)
+        profile.total_steps += new_global - drain_pending.last_global
+        drain_pending.last_global = new_global
+
+        now = time.time()
+        sps_window.append((now, new_global))
+        if len(sps_window) > 64:
+            sps_window.pop(0)
+        sps_inst = (
+            (sps_window[-1][1] - sps_window[0][1])
+            / max(sps_window[-1][0] - sps_window[0][0], 1e-9)
+            if len(sps_window) > 1
+            else profile.sps()
+        )
+
+        loss_host = {k: float(v) for k, v in losses_host.items() if np.ndim(v) == 0}
+        # per-component imitation reward means (reference rew_body_pos/rot/
+        # lin_vel/ang_vel/power, clean_pufferl/env.py:148-157)
+        rr = np.asarray(losses_host.get("reward_raw", np.zeros(5)))
+        for i, name in enumerate(("rew_body_pos", "rew_body_rot", "rew_lin_vel", "rew_ang_vel", "rew_power")[: rr.shape[0]]):
+            loss_host[name] = float(rr[i])
+        extra = {}
+        if "phase_fail_hist" in losses_host:
+            # jsonl-only (the dashboard formats scalars)
+            extra["phase_fail_hist"] = np.asarray(losses_host["phase_fail_hist"]).round(4).tolist()
+        metrics_log.log(
+            {
+                "epoch": p_epoch,
+                "global_step": new_global,
+                "sps": sps_inst,
+                "sps_avg": profile.sps(),
+                **loss_host,
+                **extra,
+                **utilization.snapshot(),
+            }
+        )
+        if p_epoch % cfg.env.log_interval == 0 or p_epoch == 1:
+            print_dashboard(
+                cfg.env.name, new_global, p_epoch, profile, loss_host, stats_agg.means(),
+                msg=f"sps_now={abbreviate(sps_inst)}",
+                use_rich=sys.stdout.isatty(),
+            )
+        return new_global
+
+    drain_pending.last_global = global_step
+
     while global_step < cfg.train.total_timesteps:
         # --- motion resampling (reference train.py:326-333; seq_motions
         # walks the corpus in order instead of PMCP-weighted sampling,
@@ -201,44 +256,18 @@ def mode_train(cfg: AppConfig):
                 print(json.dumps(results))
 
         with profile.phase("train", sync_tree=None):
+            # async dispatch: jit returns futures immediately; the fetch of
+            # THIS epoch's losses happens one iteration later (below), so the
+            # tunnel round-trip for ~20 scalars overlaps the next epoch's
+            # device execution instead of stalling it (live-vs-bench SPS gap,
+            # r3 VERDICT #3). Queue depth stays <=1: every iteration drains
+            # the previous dispatch before adding a new one.
             state, runner, losses = train_step(data, state, runner)
-            # block_until_ready is a no-op on the axon tunnel; a scalar
-            # fetch is the only way to wait for the step (and what we'd
-            # log anyway). One batched device_get (async transfers for
-            # every leaf, single drain) instead of per-scalar fetches —
-            # each scalar fetch is a full tunnel round-trip and ~20 of
-            # them cost more than the train step itself.
-            global_host, losses_host = jax.device_get((state.global_step, losses))
-            new_global = float(global_host)
 
         epoch += 1
-        profile.total_steps += new_global - global_step
-        global_step = new_global
-
-        loss_host = {k: float(v) for k, v in losses_host.items() if np.ndim(v) == 0}
-        # per-component imitation reward means (reference rew_body_pos/rot/
-        # lin_vel/ang_vel/power, clean_pufferl/env.py:148-157)
-        rr = np.asarray(losses_host.get("reward_raw", np.zeros(5)))
-        for i, name in enumerate(("rew_body_pos", "rew_body_rot", "rew_lin_vel", "rew_ang_vel", "rew_power")[: rr.shape[0]]):
-            loss_host[name] = float(rr[i])
-        extra = {}
-        if "phase_fail_hist" in losses_host:
-            # jsonl-only (the dashboard formats scalars)
-            extra["phase_fail_hist"] = np.asarray(losses_host["phase_fail_hist"]).round(4).tolist()
-        metrics_log.log(
-            {
-                "epoch": epoch,
-                "global_step": global_step,
-                "sps": profile.sps(),
-                **loss_host,
-                **extra,
-                **utilization.snapshot(),
-            }
-        )
-        if epoch % cfg.env.log_interval == 0 or epoch == 1:
-            print_dashboard(
-                cfg.env.name, global_step, epoch, profile, loss_host, stats_agg.means(), use_rich=False
-            )
+        if pending is not None:
+            global_step = drain_pending(pending)
+        pending = (epoch, state.global_step, losses)
 
         if epoch % cfg.train.checkpoint_interval == 0:
             path = ckpt_mod.save_checkpoint(
@@ -246,6 +275,9 @@ def mode_train(cfg: AppConfig):
             )
             save_curriculum_sidecar(path, cfg, lib, runner)
             print(f"checkpoint saved: {path}")
+
+    if pending is not None:
+        global_step = drain_pending(pending)
 
     utilization.stop()
     path = ckpt_mod.save_checkpoint(cfg.train.data_dir, cfg.exp_name, epoch, state, config_to_dict(cfg))
