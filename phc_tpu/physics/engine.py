@@ -1038,8 +1038,13 @@ def _contact_system(
     if A < C:
         pen, idx = jax.lax.top_k(pen_all, A)  # (B, A)
         sel = (idx[..., None] == jnp.arange(C)).astype(Sc[0].dtype)  # (B, A, C)
-        Fd = jnp.stack([jnp.broadcast_to(f, (B, C)) for f in feats], axis=-1)
-        fsel = jnp.einsum("bac,bcf->baf", sel, Fd, precision=_CPREC)  # exact
+        # stack on axis 1 (NOT a trailing axis of size-1 slices): a
+        # trailing stack axis re-layouts every (B, C) operand upstream to
+        # (B, C, 1) with degenerate T(1,128) tiling — ~0.8 ms/ctrl-step of
+        # 8x-padded sublane traffic across the whole narrow phase (traced
+        # on v5e). Contracting over the minor C axis keeps the MXU happy.
+        Fd = jnp.stack([jnp.broadcast_to(f, (B, C)) for f in feats], axis=1)
+        fsel = jnp.einsum("bac,bfc->baf", sel, Fd, precision=_CPREC)  # exact
         fs = tuple(fsel[..., i] for i in range(len(feats)))
         # static per-candidate rows: [is_ground | oh_signed(J) | anc_a(N) | anc_b(N)]
         # static rows selected TRANSPOSED ((B, F, A)) so the (N, A)-shaped
@@ -1331,6 +1336,37 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
     solver = model.solver
     if solver == "auto":
         solver = "lanes" if jax.default_backend() == "tpu" else "schur"
+
+    # Fused whole-substep Pallas kernel (the production lanes path): all
+    # `substeps` velocity iterations — PD, contact RHS, both triangular
+    # substitutions, pose integration — run in ONE kernel per control step
+    # instead of a ~40-kernel sequential XLA chain (PERF.md: the frozen
+    # step is dispatch-latency-bound, not compute-bound). The legacy loop
+    # below remains the oracle path (CPU tests, knockout attribution).
+    if solver == "lanes" and not skip and model.substeps > 0:
+        from phc_tpu.physics import fused_step
+
+        root_pos_n, joint_quat_n, vel_n, dof_torque, f_m = (
+            fused_step.frozen_substeps_fused(
+                model, state.root_pos, state.joint_quat, state.vel,
+                lhs, cs.Jm, C, c_t, c_n, pen0,
+                cs.v_t1, cs.v_t2, cs.v_n, pd_target, Q_ext,
+            )
+        )
+        f_t1 = f_m[:, :Am]
+        f_t2 = f_m[:, Am : 2 * Am]
+        f_n = f_m[:, 2 * Am :]
+        f_world_w = [
+            f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)
+        ]
+        cbf = jnp.stack(
+            [jnp.einsum("bja,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
+        )
+        new_state = PhysicsState(
+            root_pos=root_pos_n, joint_quat=joint_quat_n, vel=vel_n
+        )
+        return new_state, {"contact_forces": cbf, "dof_torque": dof_torque}
+
     if "solve" in skip:
         resolve = lambda rhs: rhs * 0.01
     elif solver == "lanes":
