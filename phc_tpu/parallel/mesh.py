@@ -69,6 +69,45 @@ class MeshSpec:
         sh = self.replicated()
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
 
+    def tp_param_sharding(self, params, min_dim: int = 2048):
+        """Tensor-parallel NamedShardings for an MLP parameter pytree.
+
+        The Megatron column/row pattern on every wide layer pair (SURVEY
+        §2.9 TP row: the reference has no sharded matmul anywhere; its
+        widest layer is the 2048-wide PHC trunk): a kernel whose OUTPUT
+        dim is model-divisible and >= min_dim is column-parallel
+        (P(None, 'model'), bias P('model')); a kernel whose INPUT dim
+        qualifies is row-parallel (P('model', None)) — GSPMD inserts the
+        contraction psum. Everything else is replicated. The elementwise
+        activation between the pair operates on the sharded hidden dim,
+        so the only collective is the row-parallel reduce.
+
+        When it pays: at 13-17M params the full model fits any single
+        chip, so TP trades one all-reduce per pair for halved per-chip
+        matmul work — a win only when the hidden dim is wide enough that
+        the matmuls dominate the collective (>= ~2048 at 4096-env
+        batches, which is exactly the first PHC trunk pair). Returns a
+        pytree of NamedShardings matching `params` for use as jit
+        in_shardings / device_put placements.
+        """
+        ts = self.model_size
+
+        def spec_for(path, x):
+            shape = getattr(x, "shape", ())
+            if len(shape) == 2:
+                if shape[1] % ts == 0 and shape[1] >= min_dim:
+                    return P(None, MODEL_AXIS)  # column parallel
+                if shape[0] % ts == 0 and shape[0] >= min_dim:
+                    return P(MODEL_AXIS, None)  # row parallel
+            if len(shape) == 1 and shape[0] % ts == 0 and shape[0] >= min_dim:
+                # bias of a column-parallel layer rides the same shards
+                return P(MODEL_AXIS)
+            return P()
+
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: NamedSharding(self.mesh, spec_for(p, x)), params
+        )
+
 
 def make_mesh(data_axis: int = -1, model_axis: int = 1, devices=None) -> MeshSpec:
     """Build a (data, model) mesh. data_axis=-1 uses all remaining devices.

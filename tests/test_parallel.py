@@ -248,3 +248,66 @@ def test_dp_full_loop_bounded_drift():
     for k in ("policy_loss", "value_loss", "mean_reward", "termination_rate"):
         d1, d8 = float(np.asarray(l1[k])), float(np.asarray(l8[k]))
         assert abs(d1 - d8) <= 0.25 * max(abs(d1), abs(d8), 0.05), f"{k}: {d1} vs {d8}"
+
+
+def test_tp_mlp_sharding_forward_and_grads():
+    """The `model` mesh axis shards the 2048-wide PHC trunk pair
+    (column-parallel first kernel, row-parallel second) and TP=2 matches
+    TP=1 on both the forward and the gradients (r3 VERDICT #7: the axis
+    must carry a real sharding rule, not mesh-shape parity)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from phc_tpu.parallel.mesh import MODEL_AXIS
+    from phc_tpu.rl import policies
+
+    mesh = make_mesh(data_axis=4, model_axis=2)
+    assert mesh.model_size == 2
+
+    obs_dim, act_dim, B = 64, 12, 32
+    policy = policies.PHCPolicy(
+        action_dim=act_dim, layer_sizes=(2048, 256), hidden_size=128, dtype=None
+    )
+    params = policy.init(jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)))
+    obs = jax.random.normal(jax.random.PRNGKey(1), (B, obs_dim))
+
+    shardings = mesh.tp_param_sharding(params)
+    # the wide pair must actually shard: first kernel column-parallel,
+    # second row-parallel, everything else replicated
+    specs = {
+        jax.tree_util.keystr(path): sh.spec
+        for path, sh in jax.tree_util.tree_flatten_with_path(shardings)[0]
+    }
+    col = [k for k, s in specs.items() if s == P(None, MODEL_AXIS)]
+    row = [k for k, s in specs.items() if s == P(MODEL_AXIS, None)]
+    assert len(col) == 2 and len(row) == 2, (col, row)  # actor + critic trunks
+
+    def loss_fn(p, o):
+        mu, value = policy.apply(p, o)
+        return jnp.sum(mu**2) + jnp.sum(value**2)
+
+    # TP=1 reference on one device
+    ref_loss, ref_grads = jax.jit(jax.value_and_grad(loss_fn))(params, obs)
+
+    # TP=2: params placed per the rule, batch sharded over data; GSPMD
+    # inserts the row-parallel psum
+    params_tp = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings
+    )
+    obs_sh = jax.device_put(obs, NamedSharding(mesh.mesh, P(DATA_AXIS)))
+    tp_loss, tp_grads = jax.jit(jax.value_and_grad(loss_fn))(params_tp, obs_sh)
+
+    # the wide kernel is really split: each device holds half the columns
+    wide_leaf = [
+        x for p, x in jax.tree_util.tree_flatten_with_path(params_tp)[0]
+        if jax.tree_util.keystr(p) in col
+    ][0]
+    assert wide_leaf.shape[1] == 2048
+    assert wide_leaf.addressable_shards[0].data.shape[1] == 1024
+
+    np.testing.assert_allclose(float(tp_loss), float(ref_loss), rtol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_grads), jax.tree_util.tree_leaves(tp_grads)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        )
