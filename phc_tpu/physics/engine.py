@@ -795,7 +795,15 @@ class ContactSystem(NamedTuple):
     tax at every materialization. The contact path is therefore built from
     (B, A) component arrays and one merged (B, N, 3A) Jacobian whose minor
     dim is MXU/VREG-sized. Column order is x-major: m = axis * A + contact,
-    axis in (t1, t2, n).
+    axis in (t1, t2, n). A here is the SECTION-PADDED slot count (8-aligned
+    so the fused kernel can DMA unsliced); pad slots carry body ids of -1,
+    zero masks/coefficients and non-positive penetration, so they are
+    inert in every consumer.
+
+    Alongside the assembled Jacobian the compacted PRIMITIVES are carried
+    for the fused TPU path, which assembles the Jacobian directly in the
+    env-minor lanes layout (one fused pass instead of transpose+pad) —
+    whichever assembly a given path doesn't consume is dead code for XLA.
     """
 
     Jm: jax.Array  # (B, N, 3A) contact-frame relative-velocity Jacobian
@@ -807,7 +815,11 @@ class ContactSystem(NamedTuple):
     t1: tuple  # 3 x (B, A) world components of tangent 1
     t2: tuple
     n: tuple
-    oh_signed: jax.Array  # (B, J, A) +1 at body_a, -1 at body_b (0 for ground)
+    oh_signed: jax.Array  # (B, A, J) +1 at body_a, -1 at body_b (0 for ground)
+    x_a: tuple  # 3 x (B, A) application point on body a (world)
+    x_b: tuple
+    mA: jax.Array  # (B, NP, A) ancestor dof mask of body a (NP = padded N)
+    mB: jax.Array
 
 
 def _rotmat_comps(q):
@@ -923,11 +935,21 @@ def _candidate_tables_v2(model: PhysicsModel):
     oh_signed = oh_a - oh_b * is_pair[:, None]  # (C, J)
     # one static matrix: [is_ground | oh_signed | anc_a | anc_b]
     stat = np.concatenate([is_ground[:, None], oh_signed, anc_a, anc_b], axis=1)
+    # body-id selection columns: selecting 3 small ints per slot and
+    # expanding body -> ancestor mask through a CONSTANT (J, NP) table is
+    # ~10x cheaper than selecting the 175-wide static-row matrix (traced)
+    bstat = np.stack(
+        [body_a.astype(np.float32), np.maximum(body_b, 0).astype(np.float32), is_ground],
+        axis=1,
+    )  # (C, 3)
+    NPad = -(-dof_body.shape[0] // 8) * 8
+    anc_pad = np.zeros((Jn, NPad), np.float32)
+    anc_pad[:, : dof_body.shape[0]] = anc_bn
     out = dict(
         body_a=body_a, body_b=body_b,
         seg_a0=seg_a0, seg_a1=seg_a1, seg_b0=seg_b0, seg_b1=seg_b1,
         rad_a=rad_a, rad_b=rad_b, is_ground=is_ground, anc_bn=anc_bn,
-        stat=stat, num_bodies=Jn,
+        stat=stat, bstat=bstat, anc_pad=anc_pad, num_bodies=Jn,
     )
     _CAND_CACHE2[key] = out
     return out
@@ -1032,38 +1054,80 @@ def _contact_system(
     v_n = _dot3(v_rel, n)
 
     # ---- compaction: ONE one-hot selection matmul ------------------------
-    feats = (*x_a, *x_b, *t1, *t2, *n, v_t1, v_t2, v_n)  # 18 x (B, C)
+    # 12-feature basis: the tangents t1/t2 are a deterministic function of
+    # n (_tangent_basis_soa), so they are recomputed AFTER selection
+    # instead of riding the selection matmul (18 -> 12 selected rows).
+    feats = (*x_a, *x_b, *n, v_t1, v_t2, v_n)  # 12 x (B, C)
     if _stage == "narrow":  # perf attribution only (scripts/bench_profile)
         return pen_all, v_n, v_t1, v_t2
+    NP = -(-N // 8) * 8
     if A < C:
+        AP = -(-A // 8) * 8  # section-padded slot count (8-aligned)
         pen, idx = jax.lax.top_k(pen_all, A)  # (B, A)
-        sel = (idx[..., None] == jnp.arange(C)).astype(Sc[0].dtype)  # (B, A, C)
-        # stack on axis 1 (NOT a trailing axis of size-1 slices): a
-        # trailing stack axis re-layouts every (B, C) operand upstream to
-        # (B, C, 1) with degenerate T(1,128) tiling — ~0.8 ms/ctrl-step of
-        # 8x-padded sublane traffic across the whole narrow phase (traced
-        # on v5e). Contracting over the minor C axis keeps the MXU happy.
-        Fd = jnp.stack([jnp.broadcast_to(f, (B, C)) for f in feats], axis=1)
-        fsel = jnp.einsum("bac,bfc->baf", sel, Fd, precision=_CPREC)  # exact
+        # one-hot rows built directly in the MXU operand dtype on TPU (the
+        # pred->bf16 convert + relayout copies cost ~0.3 ms/ctrl
+        # otherwise); values are identical — DEFAULT-precision einsums
+        # already round these operands to bf16 (accumulation stays fp32,
+        # outputs cast back below). CPU keeps exact f32 operands.
+        sel_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else Sc[0].dtype
+        sel = (idx[..., None] == jnp.arange(C)).astype(sel_dtype)  # (B, A, C)
+        # Layout guard: stacking per-candidate (B, C) comps re-layouts the
+        # whole upstream narrow phase to degenerate (B, 1, C) T(1,128)
+        # tiles (~0.9 ms/ctrl-step of 8x-padded sublane traffic, traced on
+        # v5e). The barrier pins the comps to their natural 2D layouts and
+        # confines the relayout to the stack itself; contracting over the
+        # minor C axis keeps the selection on the MXU.
+        feats_b = jax.lax.optimization_barrier(
+            tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
+        )
+        Fd = jnp.stack(list(feats_b), axis=1).astype(sel_dtype)
+        fsel = jnp.einsum("bac,bfc->baf", sel, Fd, precision=_CPREC).astype(
+            Sc[0].dtype
+        )  # exact one-hot selection (fp32 accumulation)
+        # pad the SLOT axis once at the small-tensor level — every
+        # downstream (B, A) array, the masks, the Jacobian sections and
+        # the fused kernel's DMA extents inherit 8-aligned sizes for free
+        fsel = jnp.pad(fsel, ((0, 0), (0, AP - A), (0, 0)))
+        pen = jnp.pad(pen, ((0, 0), (0, AP - A)))  # pad pen <= 0: inactive
         fs = tuple(fsel[..., i] for i in range(len(feats)))
-        # static per-candidate rows: [is_ground | oh_signed(J) | anc_a(N) | anc_b(N)]
-        # static rows selected TRANSPOSED ((B, F, A)) so the (N, A)-shaped
-        # masks feed the Jacobian build directly — the (B, A, N)->(B, N, A)
-        # swapaxes on two mask tensors used to materialize an extra
-        # 2x(B, N, 3A) relayout
-        ssel = jnp.einsum("bac,cf->bfa", sel, tab["stat"], precision=_CPREC)
+        # body-id selection (3 scalars/slot) + constant body->ancestor
+        # expansion: replaces the 175-wide static-row selection (one-hot
+        # rows are exact, so the selected ids are exact small floats);
+        # pad slots get body id -1 -> zero one-hots everywhere
+        bsel = jnp.einsum(
+            "bac,cf->baf", sel, jnp.asarray(tab["bstat"], sel_dtype), precision=_CPREC
+        ).astype(Sc[0].dtype)
+        bsel = jnp.pad(bsel, ((0, 0), (0, AP - A), (0, 0)), constant_values=-1.0)
+        is_pair_s = 1.0 - bsel[..., 2]
+        jid = jnp.arange(tab["num_bodies"], dtype=fsel.dtype)
+        oh_a = (bsel[..., 0:1] == jid).astype(fsel.dtype)  # (B, AP, J)
+        oh_b = (bsel[..., 1:2] == jid).astype(fsel.dtype) * is_pair_s[..., None]
     else:
+        AP = C
         pen = pen_all
         fs = tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
-        ssel = jnp.broadcast_to(
-            tab["stat"].T[None], (B,) + tab["stat"].T.shape
+        is_pair_s = jnp.broadcast_to(1.0 - tab["is_ground"][None], (B, C))
+        jid = jnp.arange(tab["num_bodies"], dtype=fs[0].dtype)
+        oh_a = jnp.broadcast_to(
+            (tab["body_a"][:, None] == jid).astype(fs[0].dtype)[None], (B, C, J)
         )
-    x_a, x_b = fs[0:3], fs[3:6]
-    t1, t2, n = fs[6:9], fs[9:12], fs[12:15]
-    v_t1, v_t2, v_n = fs[15], fs[16], fs[17]
-    oh_signed = ssel[:, 1 : 1 + J]  # (B, J, A)
-    mA = ssel[:, 1 + J : 1 + J + N]  # (B, N, A) ancestor dof mask, side a
-    mB = ssel[:, 1 + J + N :]
+        oh_b = (
+            jnp.broadcast_to(
+                (np.maximum(tab["body_b"], 0)[:, None] == jid).astype(fs[0].dtype)[None],
+                (B, C, J),
+            )
+            * is_pair_s[..., None]
+        )
+    x_a, x_b, n = fs[0:3], fs[3:6], fs[6:9]
+    v_t1, v_t2, v_n = fs[9], fs[10], fs[11]
+    t1, t2 = _tangent_basis_soa(*n)
+    oh_signed = oh_a - oh_b  # (B, AP, J)
+    # ancestor dof masks through the constant padded table, emitted in the
+    # TRANSPOSED (B, AP, NP) layout the fused path's Jacobian/Gram
+    # assembly consumes with zero relayout copies
+    anc_pad = jnp.asarray(tab["anc_pad"])  # (J, NP)
+    mA = jnp.einsum("baj,jn->ban", oh_a, anc_pad, precision=_CPREC)
+    mB = jnp.einsum("baj,jn->ban", oh_b, anc_pad, precision=_CPREC)
     active = (pen > 0.0).astype(pen.dtype)
     if _stage == "compact":  # perf attribution only
         return pen, mA, mB, fs[0]
@@ -1076,6 +1140,25 @@ def _contact_system(
     # einsum), so it is written as 6 broadcast FMAs instead — one fused
     # elementwise kernel producing (B, N, 3A) directly, no (B, N, 6A)
     # intermediate and no separate mask pass.
+    Jm = _assemble_jm_batch(
+        Sc, x_a, x_b, t1, t2, n,
+        mA[:, :, :N].swapaxes(1, 2), mB[:, :, :N].swapaxes(1, 2),
+    )
+
+    return ContactSystem(
+        Jm=Jm, v_t1=v_t1, v_t2=v_t2, v_n=v_n, pen=pen, active=active,
+        t1=t1, t2=t2, n=n, oh_signed=oh_signed,
+        x_a=x_a, x_b=x_b, mA=mA, mB=mB,
+    )
+
+
+def _assemble_jm_batch(Sc, x_a, x_b, t1, t2, n, mA, mB, transposed=False):
+    """Merged contact Jacobian from compacted primitives (see the comment
+    at the call site). mA/mB are (B, N, A). transposed=False gives
+    (B, N, 3A); transposed=True gives (B, 3A, N) — the layout the Gram
+    einsum consumes directly (contraction dim second-to-last on both
+    operands), which removes a whole-array relayout copy on TPU."""
+
     def w_merged(x):
         cols = []
         for r in (t1, t2, n):
@@ -1087,16 +1170,19 @@ def _contact_system(
 
     Wa = w_merged(x_a)
     Wb = w_merged(x_b)
+    if transposed:
+        # here mA/mB arrive PRE-TRANSPOSED as (B, A, N) (emitted that way
+        # by the mask einsum — no relayout pass)
+        mA3 = jnp.concatenate([mA, mA, mA], axis=1)  # (B, 3A, N)
+        mB3 = jnp.concatenate([mB, mB, mB], axis=1)
+        Ja = sum(Sc[i][:, None, :] * Wa[i][:, :, None] for i in range(6))
+        Jb = sum(Sc[i][:, None, :] * Wb[i][:, :, None] for i in range(6))
+        return Ja * mA3 - Jb * mB3
     mA3 = jnp.concatenate([mA, mA, mA], axis=-1)  # (B, N, 3A), no relayout
     mB3 = jnp.concatenate([mB, mB, mB], axis=-1)
     Ja = sum(Sc[i][:, :, None] * Wa[i][:, None, :] for i in range(6))
     Jb = sum(Sc[i][:, :, None] * Wb[i][:, None, :] for i in range(6))
-    Jm = Ja * mA3 - Jb * mB3
-
-    return ContactSystem(
-        Jm=Jm, v_t1=v_t1, v_t2=v_t2, v_n=v_n, pen=pen, active=active,
-        t1=t1, t2=t2, n=n, oh_signed=oh_signed,
-    )
+    return Ja * mA3 - Jb * mB3
 
 
 # Dev-only knockout set for performance attribution (scripts/bench_profile
@@ -1234,7 +1320,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
             f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)
         ]  # world components (B, A)
         cbf = jnp.stack(
-            [jnp.einsum("bja,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
+            [jnp.einsum("baj,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
         )  # (B, J, 3)
 
     # integrate: root position (world), quaternions via exponential map
@@ -1295,12 +1381,16 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
         C = _bias_dispatch(model, frame, state, params, Sc)
 
     if "contacts" in skip:
-        Am = model.max_contacts or 1
+        Am = -(-(model.max_contacts or 1) // 8) * 8
+        NPad = -(-N // 8) * 8
         zA = jnp.zeros((B, Am))
+        z3 = (zA, zA, zA)
         cs = ContactSystem(
             Jm=jnp.zeros((B, N, 3 * Am)), v_t1=zA, v_t2=zA, v_n=zA, pen=zA,
-            active=zA, t1=(zA, zA, zA), t2=(zA, zA, zA), n=(zA, zA, zA),
-            oh_signed=jnp.zeros((B, J, Am)),
+            active=zA, t1=z3, t2=z3, n=z3,
+            oh_signed=jnp.zeros((B, Am, J)),
+            x_a=z3, x_b=z3,
+            mA=jnp.zeros((B, Am, NPad)), mB=jnp.zeros((B, Am, NPad)),
         )
     else:
         cs = _contact_system(model, frame, Sc)
@@ -1326,12 +1416,6 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
     coef_m = jnp.concatenate([c_t, c_t, c_n], axis=-1)  # (B, 3A)
 
     kd_full = np.concatenate([np.zeros(6, np.float32), model.kd])
-    lhs = M + jnp.asarray(np.diag(dt * kd_full)[None])
-    # Gram-factored SPD assembly (see _physics_substep): exactly PSD under
-    # bf16 rounding, unlike the direct dt*J diag(c) J^T einsum.
-    if "gram" not in skip:
-        W = cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :]
-        lhs = lhs + jnp.einsum("bnm,bkm->bnk", W, W, precision=_CPREC)
 
     solver = model.solver
     if solver == "auto":
@@ -1340,17 +1424,45 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
     # Fused whole-substep Pallas kernel (the production lanes path): all
     # `substeps` velocity iterations — PD, contact RHS, both triangular
     # substitutions, pose integration — run in ONE kernel per control step
-    # instead of a ~40-kernel sequential XLA chain (PERF.md: the frozen
-    # step is dispatch-latency-bound, not compute-bound). The legacy loop
-    # below remains the oracle path (CPU tests, knockout attribution).
+    # (replacing a ~40-kernel sequential XLA chain; see PERF.md). The
+    # legacy loop below remains the oracle path (CPU tests, knockouts).
     if solver == "lanes" and not skip and model.substeps > 0:
         from phc_tpu.physics import fused_step
 
+        # PADDED assembly: the Jacobian/Gram/LHS are built at the kernel's
+        # row count NPad directly (masks/Sc carry zero pad rows, the LHS
+        # pad diagonal is identity), so no whole-array pad/slice passes
+        # sit between the build and the kernel DMA. The Gram runs fp32
+        # Precision.HIGH on the f32 Jacobian — measured no slower than the
+        # bf16-W path once the W conversion + relayout copies are gone.
+        from phc_tpu.physics import lanes_dyn
+
+        NPad = -(-N // 8) * 8
+        Sc_p = tuple(jnp.pad(s, ((0, 0), (0, NPad - N))) for s in Sc)
+        Jm_p = _assemble_jm_batch(
+            Sc_p, cs.x_a, cs.x_b, cs.t1, cs.t2, cs.n, cs.mA, cs.mB,
+            transposed=True,
+        )  # (B, 3A, NPad) — Gram-operand layout, no relayout copy
+        # single-pass bf16 Gram (PSD by construction: Gram of the rounded
+        # factor, fp32 accumulate — see _physics_substep); fp32 HIGH
+        # measures ~0.9 ms/ctrl-step slower. Explicit bf16 only on TPU (it
+        # matches what DEFAULT-precision MXU einsums already did to the
+        # operands); CPU stays f32 so the fused path is bit-comparable
+        # with the legacy loop there (parity test).
+        w_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        W = (Jm_p * jnp.sqrt(dt * coef_m)[:, :, None]).astype(w_dtype)
+        G = jnp.einsum("bmn,bmk->bnk", W, W, precision=_CPREC).astype(jnp.float32)
+        # M + armature + dt*Kd diag emitted DIRECTLY in the factor's lanes
+        # layout by the combined mass+bias kernel (the XLA M/C built above
+        # are dead code on this path); the Gram transpose fuses into the add
+        C_lanes, M_lanes = lanes_dyn.mass_bias_lanes(model, frame, state)
+        lhs_lanes = M_lanes + jnp.transpose(G, (1, 2, 0))
         root_pos_n, joint_quat_n, vel_n, dof_torque, f_m = (
             fused_step.frozen_substeps_fused(
                 model, state.root_pos, state.joint_quat, state.vel,
-                lhs, cs.Jm, C, c_t, c_n, pen0,
+                lhs_lanes, Jm_p, C_lanes, c_t, c_n, pen0,
                 cs.v_t1, cs.v_t2, cs.v_n, pd_target, Q_ext,
+                lanes_inputs=True,
             )
         )
         f_t1 = f_m[:, :Am]
@@ -1360,12 +1472,19 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
             f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)
         ]
         cbf = jnp.stack(
-            [jnp.einsum("bja,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
+            [jnp.einsum("baj,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
         )
         new_state = PhysicsState(
             root_pos=root_pos_n, joint_quat=joint_quat_n, vel=vel_n
         )
         return new_state, {"contact_forces": cbf, "dof_torque": dof_torque}
+
+    lhs = M + jnp.asarray(np.diag(dt * kd_full)[None])
+    # Gram-factored SPD assembly (see _physics_substep): exactly PSD under
+    # bf16 rounding, unlike the direct dt*J diag(c) J^T einsum.
+    if "gram" not in skip:
+        W = cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :]
+        lhs = lhs + jnp.einsum("bnm,bkm->bnk", W, W, precision=_CPREC)
 
     if "solve" in skip:
         resolve = lambda rhs: rhs * 0.01
@@ -1443,7 +1562,7 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
     f_n = jnp.maximum(k * jnp.minimum(pen_i, pen_cap) * (pen_i > 0.0) - c_n * vnn, 0.0)
     f_world_w = [f_t1 * cs.t1[w] + f_t2 * cs.t2[w] + f_n * cs.n[w] for w in range(3)]
     cbf = jnp.stack(
-        [jnp.einsum("bja,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
+        [jnp.einsum("baj,ba->bj", cs.oh_signed, fw) for fw in f_world_w], axis=-1
     )
     dof_torque = tau_act - kd * dt * qacc[:, 6:]
 

@@ -329,6 +329,7 @@ def frozen_substeps_fused(
     lhs, Jm, C, c_t, c_n, pen0, v_t1, v_t2, v_n,
     pd_target, Q_ext=None,
     interpret: bool | None = None,
+    lanes_inputs: bool = False,
 ):
     """Run all frozen-mode substeps in one Pallas kernel.
 
@@ -346,14 +347,31 @@ def frozen_substeps_fused(
     interpret = _auto_interpret(interpret)
     cst, om, omT, J, N, NP = _substep_tables(model)
     B = vel.shape[0]
-    A = c_t.shape[1]
+    A = c_t.shape[1]  # section-padded slot count (8-aligned upstream)
     M3 = 3 * A
-    MP = -(-M3 // 128) * 128 if M3 > 128 else 128
+    MP = -(-M3 // 8) * 8
     LANES = 128
     Bp = -(-B // LANES) * LANES
 
-    # LHS to the factor kernel's lanes layout (identity diag on pad rows)
-    lhs_l, _ = _pad_lanes(lhs, None, N, NP, B, Bp)
+    # LHS to the factor kernel's lanes layout. lanes_inputs=True: the
+    # caller already emits (NP, NP, B) lanes with identity pad diagonal
+    # (lanes_dyn.mass_bias_lanes) — nothing to do but lane-pad. A
+    # batch-major LHS padded to NP needs only the transpose; otherwise
+    # _pad_lanes pads + sets the diag.
+    if lanes_inputs:
+        lhs_l = lhs
+        if Bp != B:
+            lhs_l = jnp.pad(lhs_l, ((0, 0), (0, 0), (0, Bp - B)))
+            ii = np.arange(NP)
+            lhs_l = lhs_l.at[ii, ii, B:].set(1.0)
+    elif lhs.shape[-1] == NP and lhs.shape[-2] == NP:
+        lhs_l = lhs.transpose(2, 1, 0)
+        if Bp != B:
+            lhs_l = jnp.pad(lhs_l, ((0, 0), (0, 0), (0, Bp - B)))
+            ii = np.arange(NP)
+            lhs_l = lhs_l.at[ii, ii, B:].set(1.0)
+    else:
+        lhs_l, _ = _pad_lanes(lhs, None, N, NP, B, Bp)
 
     dt = model.dt
     k, d = model.contact_stiffness, model.contact_damping
@@ -363,7 +381,10 @@ def frozen_substeps_fused(
         xt = x.T
         return jnp.pad(xt, ((0, rows - xt.shape[0]), (0, Bp - B)))
 
-    C_l = lanes2(C, NP)
+    if lanes_inputs:  # C arrives (NP, B) from the mass+bias lanes kernel
+        C_l = jnp.pad(C, ((0, 0), (0, Bp - B))) if Bp != B else C
+    else:
+        C_l = lanes2(C, NP)
     pd_l = lanes2(
         jnp.concatenate([jnp.zeros((B, 6), pd_target.dtype), pd_target], axis=1), NP
     )
@@ -379,19 +400,18 @@ def frozen_substeps_fused(
     rp_l = lanes2(root_pos, 8)
     qc_l = jnp.pad(joint_quat.transpose(2, 1, 0), ((0, 0), (0, 0), (0, Bp - B)))
 
-    # contact Jacobian to lanes: (B, N, 3A) -> (NP, MP, Bp). One relayout
-    # pass — the kernel then reads it exactly once per control step (the
-    # XLA loop read it 2x per substep). Matrix-dim pads must stay: Mosaic
-    # DMA slices reject tile-unaligned extents (126 % 8 != 0). The pad is
-    # written as update-slice-into-zeros so XLA can fuse it with the
-    # transposing producer instead of a second 170 MB pad pass.
-    Jm_l = jax.lax.dynamic_update_slice(
-        jnp.zeros((NP, MP, Bp), Jm.dtype),
-        Jm.transpose(1, 2, 0) if Bp == B else jnp.pad(
-            Jm.transpose(1, 2, 0), ((0, 0), (0, 0), (0, Bp - B))
-        ),
-        (0, 0, 0),
-    )
+    # contact Jacobian to lanes: -> (NP, MP, Bp). One relayout pass — the
+    # kernel then reads it exactly once per control step (the XLA loop
+    # read it 2x per substep). Accepts either (B, rows, 3A) or the
+    # transposed (B, 3A, rows) Gram-operand layout the fused engine path
+    # emits (section-padded primitives make both pure transposes).
+    if Jm.shape[1] == M3 and Jm.shape[2] != M3:
+        Jm_l = Jm.transpose(2, 1, 0)  # (rows, 3A, B)
+    else:
+        Jm_l = Jm.transpose(1, 2, 0)
+    row_pad = NP - Jm_l.shape[0]
+    if row_pad or MP != M3 or Bp != B:
+        Jm_l = jnp.pad(Jm_l, ((0, row_pad), (0, MP - M3), (0, Bp - B)))
 
     kernel = _make_substep_kernel(
         J, N, NP, A, MP, float(dt), int(model.substeps),

@@ -77,7 +77,7 @@ def _bias_tables(model):
     return bodyc, adj, sel, om, float(model.gravity), J, N, VP
 
 
-def _make_bias_kernel(J: int, N: int, g: float):
+def _make_bias_kernel(J: int, N: int, g: float, with_mass: bool = False, NP: int = 0):
     grav = (0.0, 0.0, g)
 
     def dot(a, b):
@@ -85,7 +85,11 @@ def _make_bias_kernel(J: int, N: int, g: float):
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    def kernel(ft_ref, vt_ref, bodyc_ref, adj_ref, sel_ref, om_ref, out_ref):
+    def kernel(ft_ref, vt_ref, bodyc_ref, adj_ref, sel_ref, om_ref, *rest):
+        if with_mass:
+            mtab_ref, out_ref, m_ref = rest
+        else:
+            (out_ref,) = rest
         L = ft_ref.shape[-1]
         ft = ft_ref[:]
         vt = vt_ref[:]
@@ -202,7 +206,158 @@ def _make_bias_kernel(J: int, N: int, g: float):
             tau = jnp.concatenate([tau, jnp.zeros((pad_rows, L), tau.dtype)], axis=0)
         out_ref[:] = tau
 
+        if not with_mass:
+            return
+
+        # ---- CRBA mass matrix + implicit-damping diagonal, emitted in the
+        # factor kernel's lanes layout (engine._mass_matrix_comps, fused) --
+        # subtree sums of h = m c and G = I_com + m(|c|^2 I - c c^T)
+        h = tuple(m_c * c[i] for i in range(3))
+        c2 = c[0] * c[0] + c[1] * c[1] + c[2] * c[2]
+        Gc = (
+            Iw["xx"] + m_c * (c2 - c[0] * c[0]),
+            Iw["xy"] - m_c * c[0] * c[1],
+            Iw["xz"] - m_c * c[0] * c[2],
+            Iw["yy"] + m_c * (c2 - c[1] * c[1]),
+            Iw["yz"] - m_c * c[1] * c[2],
+            Iw["zz"] + m_c * (c2 - c[2] * c[2]),
+        )
+        h_sub = tuple(dot(desc, h[i]) for i in range(3))
+        G_sub = tuple(dot(desc, Gc[i]) for i in range(6))
+        # gather to dof rows
+        hd = tuple(dot(PB, h_sub[i]) for i in range(3))
+        Gd = tuple(dot(PB, G_sub[i]) for i in range(6))
+        Gxx, Gxy, Gxz, Gyy, Gyz, Gzz = Gd
+        m_row = mtab_ref[3][0:N, 0:1]  # (N, 1) subtree mass per dof row
+
+        a3 = (Sc[0], Sc[1], Sc[2])
+        l3 = (Sc[3], Sc[4], Sc[5])
+        hxl = _cross(hd, l3)
+        F_top = (
+            Gxx * a3[0] + Gxy * a3[1] + Gxz * a3[2] + hxl[0],
+            Gxy * a3[0] + Gyy * a3[1] + Gyz * a3[2] + hxl[1],
+            Gxz * a3[0] + Gyz * a3[1] + Gzz * a3[2] + hxl[2],
+        )
+        axh = _cross(a3, hd)
+        F_bot = tuple(axh[i] + m_row * l3[i] for i in range(3))
+        F6 = (*F_top, *F_bot)
+
+        zpad = jnp.zeros((NP - N, L), jnp.float32)
+        F6p = tuple(jnp.concatenate([F6[i], zpad], axis=0) for i in range(6))
+        Scp = tuple(jnp.concatenate([Sc[i], zpad], axis=0) for i in range(6))
+
+        # M = (F (x) S) on ancestor-or-self pairs (incl. diagonal) plus the
+        # strict-upper side from the symmetric transpose (computed with
+        # swapped operand roles — no in-VMEM transpose), plus the constant
+        # diagonal (armature + dt*kd + identity on pad rows). Row-chunked
+        # so temporaries stay ~0.7 MB.
+        anc_m = mtab_ref[0]  # (NP, NP) ancestor-or-self (lower + diag)
+        lowT = mtab_ref[1]  # strict upper mask (lower transposed)
+        Dc = mtab_ref[2]  # constant diagonal matrix
+        CH = 16
+        for r in range(0, NP, CH):
+            Mlow = sum(
+                jnp.expand_dims(F6p[i][r : r + CH], 1) * jnp.expand_dims(Scp[i], 0)
+                for i in range(6)
+            )  # (CH, NP, L)
+            MlowT = sum(
+                jnp.expand_dims(Scp[i][r : r + CH], 1) * jnp.expand_dims(F6p[i], 0)
+                for i in range(6)
+            )
+            m_ref[r : r + CH] = (
+                Mlow * jnp.expand_dims(anc_m[r : r + CH], 2)
+                + MlowT * jnp.expand_dims(lowT[r : r + CH], 2)
+                + jnp.expand_dims(Dc[r : r + CH], 2)
+            )
+
     return kernel
+
+
+def _mass_tables(model, NP: int):
+    """(4, NP, NP) constants for the fused mass build: [ancestor-or-self
+    pair mask (lower+diag) | strict-upper mask | constant diagonal matrix
+    (armature + dt*kd, identity on pad rows) | row 0 = subtree mass per
+    dof row]."""
+    J = model.num_bodies
+    N = model.num_dofs
+    dof_body = np.concatenate([[0] * 6, np.repeat(np.arange(1, J), 3)]).astype(np.int64)
+    anc = model.ancestor_mask[np.ix_(dof_body, dof_body)]  # (N, N)
+    eye = np.eye(N, dtype=bool)
+    lower = anc & ~eye
+    mtab = np.zeros((4, NP, NP), np.float32)
+    # DISJOINT masks for the additive symmetrization (same-body dof pairs
+    # — the root 6x6 and each ball joint's 3x3 block — are ancestor-or-
+    # self BOTH ways; engine's select-based masking resolves them to the
+    # transposed value, so the direct mask must exclude them)
+    mtab[0, :N, :N] = ((lower & ~lower.T) | eye).astype(np.float32)
+    mtab[1, :N, :N] = lower.T.astype(np.float32)
+    arm = np.concatenate([np.zeros(6, np.float32), model.armature])
+    kd_full = np.concatenate([np.zeros(6, np.float32), model.kd])
+    diag = arm + model.dt * kd_full
+    mtab[2, :N, :N] = np.diag(diag.astype(np.float32))
+    for i in range(N, NP):
+        mtab[2, i, i] = 1.0  # identity pad rows (factor-safe)
+    m_sub = (model.ancestor_mask.T.astype(np.float64) @ model.mass).astype(np.float32)
+    mtab[3, :N, 0] = m_sub[dof_body]  # COLUMN: reads as (N, 1) w/o gather
+    return mtab
+
+
+def mass_bias_lanes(model, frame, state, interpret: bool | None = None):
+    """One kernel emitting BOTH the RNEA bias (NP, Bp lanes layout) and the
+    implicit-system partial LHS M + diag(armature + dt*kd) in the Cholesky
+    factor's (NP, NP, Bp) lanes layout with identity pad diagonal — the
+    fused frozen path adds the contact Gram and factors in-kernel, so no
+    whole-array pad/transpose pass ever touches the mass matrix."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = _auto_interpret(interpret)
+    bodyc, adj, sel, om, g, J, N, VP = _bias_tables(model)
+    B = frame.rot.shape[0]
+    LANES = 128
+    Bp = -(-B // LANES) * LANES
+    NP = -(-N // 8) * 8
+    mtab = _mass_tables(model, NP)
+
+    ft = jnp.concatenate(
+        [frame.pos, frame.rot, frame.lin_vel, frame.ang_vel], axis=-1
+    ).transpose(2, 1, 0)  # (13, J, B)
+    vt = state.vel.T  # (N, B)
+    if VP != N:
+        vt = jnp.pad(vt, ((0, VP - N), (0, 0)))
+    if Bp != B:
+        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, Bp - B)))
+        vt = jnp.pad(vt, ((0, 0), (0, Bp - B)))
+
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    C_l, M_l = pl.pallas_call(
+        _make_bias_kernel(J, N, g, with_mass=True, NP=NP),
+        out_shape=(
+            jax.ShapeDtypeStruct((NP, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((NP, NP, Bp), jnp.float32),
+        ),
+        grid=(Bp // LANES,),
+        in_specs=[
+            pl.BlockSpec((13, J, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((VP, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            const_spec(bodyc.shape),
+            const_spec(adj.shape),
+            const_spec(sel.shape),
+            const_spec(om.shape),
+            const_spec(mtab.shape),
+        ],
+        out_specs=(
+            pl.BlockSpec((NP, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NP, NP, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(
+        ft, vt, jnp.asarray(bodyc), jnp.asarray(adj), jnp.asarray(sel),
+        jnp.asarray(om), jnp.asarray(mtab),
+    )
+    return C_l[:, :B], M_l[:, :, :B]
 
 
 def bias_forces_lanes(model, frame, state, interpret: bool | None = None) -> jax.Array:
