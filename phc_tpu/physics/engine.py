@@ -982,6 +982,18 @@ def _contact_system(
     C = ba_np.shape[0]
     A = model.max_contacts if (model.max_contacts and model.max_contacts < C) else C
 
+    # On TPU the whole narrow phase runs as ONE lanes kernel
+    # (lanes_dyn.narrow_phase_lanes — identical math, parity-tested); the
+    # XLA path below is the CPU/test oracle.
+    solver = model.solver
+    if solver == "auto":
+        solver = "lanes" if jax.default_backend() == "tpu" else "schur"
+    if solver == "lanes" and _stage == "full":
+        from phc_tpu.physics import lanes_dyn
+
+        pen_all, Fd_all = lanes_dyn.narrow_phase_lanes(model, frame)
+        return _compact_contacts(model, tab, Sc, pen_all, Fd_all, None, B, J, N, C, A, _stage)
+
     # per-body component fields (B, J) — no (...,3) padding anywhere
     R = _rotmat_comps(frame.rot)
     pos = tuple(frame.pos[..., i] for i in range(3))
@@ -1060,6 +1072,16 @@ def _contact_system(
     feats = (*x_a, *x_b, *n, v_t1, v_t2, v_n)  # 12 x (B, C)
     if _stage == "narrow":  # perf attribution only (scripts/bench_profile)
         return pen_all, v_n, v_t1, v_t2
+    return _compact_contacts(model, tab, Sc, pen_all, None, feats, B, J, N, C, A, _stage)
+
+
+def _compact_contacts(model, tab, Sc, pen_all, Fd_all, feats, B, J, N, C, A, _stage="full"):
+    """Top-k compaction + Jacobian assembly over narrow-phase outputs.
+
+    Features arrive either stacked (B, 12, C) from the lanes kernel
+    (Fd_all) or as 12 (B, C) comps from the XLA oracle path (feats).
+    Feature order: x_a(3), x_b(3), n(3), v_t1, v_t2, v_n.
+    """
     NP = -(-N // 8) * 8
     if A < C:
         AP = -(-A // 8) * 8  # section-padded slot count (8-aligned)
@@ -1071,32 +1093,34 @@ def _contact_system(
         # outputs cast back below). CPU keeps exact f32 operands.
         sel_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else Sc[0].dtype
         sel = (idx[..., None] == jnp.arange(C)).astype(sel_dtype)  # (B, A, C)
-        # Layout guard: stacking per-candidate (B, C) comps re-layouts the
-        # whole upstream narrow phase to degenerate (B, 1, C) T(1,128)
-        # tiles (~0.9 ms/ctrl-step of 8x-padded sublane traffic, traced on
-        # v5e). The barrier pins the comps to their natural 2D layouts and
-        # confines the relayout to the stack itself; contracting over the
-        # minor C axis keeps the selection on the MXU.
-        feats_b = jax.lax.optimization_barrier(
-            tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
-        )
-        Fd = jnp.stack(list(feats_b), axis=1).astype(sel_dtype)
+        if Fd_all is not None:
+            Fd = Fd_all.astype(sel_dtype)
+        else:
+            # Layout guard: stacking per-candidate (B, C) comps re-layouts
+            # the whole upstream narrow phase to degenerate (B, 1, C)
+            # T(1,128) tiles (~0.9 ms/ctrl-step of 8x-padded sublane
+            # traffic, traced on v5e). The barrier pins the comps to their
+            # natural 2D layouts and confines the relayout to the stack.
+            feats_b = jax.lax.optimization_barrier(
+                tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
+            )
+            Fd = jnp.stack(list(feats_b), axis=1).astype(sel_dtype)
         fsel = jnp.einsum("bac,bfc->baf", sel, Fd, precision=_CPREC).astype(
-            Sc[0].dtype
+            jnp.float32
         )  # exact one-hot selection (fp32 accumulation)
         # pad the SLOT axis once at the small-tensor level — every
         # downstream (B, A) array, the masks, the Jacobian sections and
         # the fused kernel's DMA extents inherit 8-aligned sizes for free
         fsel = jnp.pad(fsel, ((0, 0), (0, AP - A), (0, 0)))
         pen = jnp.pad(pen, ((0, 0), (0, AP - A)))  # pad pen <= 0: inactive
-        fs = tuple(fsel[..., i] for i in range(len(feats)))
+        fs = tuple(fsel[..., i] for i in range(12))
         # body-id selection (3 scalars/slot) + constant body->ancestor
         # expansion: replaces the 175-wide static-row selection (one-hot
         # rows are exact, so the selected ids are exact small floats);
         # pad slots get body id -1 -> zero one-hots everywhere
         bsel = jnp.einsum(
             "bac,cf->baf", sel, jnp.asarray(tab["bstat"], sel_dtype), precision=_CPREC
-        ).astype(Sc[0].dtype)
+        ).astype(jnp.float32)
         bsel = jnp.pad(bsel, ((0, 0), (0, AP - A), (0, 0)), constant_values=-1.0)
         is_pair_s = 1.0 - bsel[..., 2]
         jid = jnp.arange(tab["num_bodies"], dtype=fsel.dtype)
@@ -1105,7 +1129,10 @@ def _contact_system(
     else:
         AP = C
         pen = pen_all
-        fs = tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
+        if Fd_all is not None:
+            fs = tuple(Fd_all[:, i] for i in range(12))
+        else:
+            fs = tuple(jnp.broadcast_to(f, (B, C)) for f in feats)
         is_pair_s = jnp.broadcast_to(1.0 - tab["is_ground"][None], (B, C))
         jid = jnp.arange(tab["num_bodies"], dtype=fs[0].dtype)
         oh_a = jnp.broadcast_to(

@@ -402,3 +402,218 @@ def bias_forces_lanes(model, frame, state, interpret: bool | None = None) -> jax
         interpret=interpret,
     )(ft, vt, jnp.asarray(bodyc), jnp.asarray(adj), jnp.asarray(sel), jnp.asarray(om))
     return out[:N, :B].T
+
+
+# ---------------------------------------------------------------------------
+# Narrow-phase lanes kernel: all C contact candidates' geometry in one
+# kernel (capsule-capsule closest points, penetration, contact frame,
+# relative velocities). Replaces ~15 small XLA fusions + the feature-stack
+# concatenate on the (B, C) component chain (~1 ms/ctrl-step traced).
+# ---------------------------------------------------------------------------
+
+_NARROW_CACHE: dict = {}
+
+
+def _narrow_tables(model):
+    key = id(model)
+    hit = _NARROW_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from phc_tpu.physics.engine import _candidate_tables_v2
+
+    tab = _candidate_tables_v2(model)
+    J = model.num_bodies
+    C = tab["body_a"].shape[0]
+    CP = -(-C // 8) * 8
+    oh = np.zeros((2, CP, J), np.float32)
+    oh[0, np.arange(C), tab["body_a"]] = 1.0
+    oh[1, np.arange(C), np.maximum(tab["body_b"], 0)] = 1.0
+    knt = np.zeros((CP, 16), np.float32)
+    knt[:C, 0:3] = tab["seg_a0"]
+    knt[:C, 3:6] = tab["seg_a1"]
+    knt[:C, 6:9] = tab["seg_b0"]
+    knt[:C, 9:12] = tab["seg_b1"]
+    knt[:C, 12] = tab["rad_a"]
+    knt[:C, 13] = tab["rad_b"]
+    knt[:C, 14] = tab["is_ground"]
+    out = (oh, knt, J, C, CP)
+    _NARROW_CACHE[key] = out
+    return out
+
+
+def _make_narrow_kernel(J: int, C: int, CP: int):
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def kernel(ft_ref, oh_ref, knt_ref, pen_ref, feat_ref):
+        L = ft_ref.shape[-1]
+        ft = ft_ref[:]
+        OHa, OHb = oh_ref[0], oh_ref[1]
+
+        pos = tuple(ft[i] for i in range(3))  # (J, L)
+        qx, qy, qz, qw = ft[3], ft[4], ft[5], ft[6]
+        lin = tuple(ft[7 + i] for i in range(3))
+        ang = tuple(ft[10 + i] for i in range(3))
+
+        xx, yy, zz = qx * qx, qy * qy, qz * qz
+        xy, xz, yz = qx * qy, qx * qz, qy * qz
+        wx, wy, wz = qw * qx, qw * qy, qw * qz
+        R = (
+            1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy),
+            2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx),
+            2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy),
+        )
+
+        # per-candidate gathers through static one-hot matmuls (MXU)
+        Ra = tuple(dot(OHa, R[i]) for i in range(9))
+        Rb = tuple(dot(OHb, R[i]) for i in range(9))
+        pa = tuple(dot(OHa, pos[i]) for i in range(3))
+        pb = tuple(dot(OHb, pos[i]) for i in range(3))
+        va = tuple(dot(OHa, lin[i]) for i in range(3))
+        vb = tuple(dot(OHb, lin[i]) for i in range(3))
+        wa = tuple(dot(OHa, ang[i]) for i in range(3))
+        wb = tuple(dot(OHb, ang[i]) for i in range(3))
+
+        def kc(i):  # per-candidate constant column (CP, 1)
+            return knt_ref[:, i : i + 1]
+
+        def world(Rc, pc, base):
+            sx, sy, sz = kc(base), kc(base + 1), kc(base + 2)
+            return tuple(
+                Rc[3 * r + 0] * sx + Rc[3 * r + 1] * sy + Rc[3 * r + 2] * sz + pc[r]
+                for r in range(3)
+            )
+
+        a0 = world(Ra, pa, 0)
+        a1 = world(Ra, pa, 3)
+        b0 = world(Rb, pb, 6)
+        b1 = world(Rb, pb, 9)
+
+        # closest points between segments (engine._seg_st_soa, branch-free)
+        eps = 1e-9
+        d1 = tuple(a1[i] - a0[i] for i in range(3))
+        d2 = tuple(b1[i] - b0[i] for i in range(3))
+        r3_ = tuple(a0[i] - b0[i] for i in range(3))
+
+        def dot3(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        a_ = dot3(d1, d1)
+        e_ = dot3(d2, d2)
+        f_ = dot3(d2, r3_)
+        c_ = dot3(d1, r3_)
+        b_ = dot3(d1, d2)
+        a_ok = a_ > eps
+        e_ok = e_ > eps
+        a_safe = jnp.where(a_ok, a_, 1.0)
+        e_safe = jnp.where(e_ok, e_, 1.0)
+        denom = a_ * e_ - b_ * b_
+        s0 = jnp.where(
+            denom > eps,
+            jnp.clip((b_ * f_ - c_ * e_) / jnp.where(denom > eps, denom, 1.0), 0.0, 1.0),
+            0.0,
+        )
+        t0 = jnp.clip((b_ * s0 + f_) / e_safe, 0.0, 1.0)
+        s_gen = jnp.clip((b_ * t0 - c_) / a_safe, 0.0, 1.0)
+        s = jnp.where(a_ok & e_ok, s_gen, jnp.where(a_ok, jnp.clip(-c_ / a_safe, 0.0, 1.0), 0.0))
+        t = jnp.where(a_ok & e_ok, t0, jnp.where(e_ok, jnp.clip(f_ / e_safe, 0.0, 1.0), 0.0))
+
+        cp1 = tuple(a0[i] + s * d1[i] for i in range(3))
+        cp2 = tuple(b0[i] + t * d2[i] for i in range(3))
+        diff = tuple(cp1[i] - cp2[i] for i in range(3))
+        dist = jnp.sqrt(jnp.maximum(dot3(diff, diff), 1e-12))
+
+        rad_a = kc(12)
+        rad_b = kc(13)
+        is_g = kc(14)
+        is_pair = 1.0 - is_g
+
+        pen_ground = rad_a - a0[2]
+        pen_pair = rad_a + rad_b - dist
+        pen_all = jnp.where(is_g > 0.5, pen_ground, pen_pair)
+
+        inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+        valid = (dist > 1e-6) & jnp.broadcast_to(is_g < 0.5, dist.shape)
+        nx = jnp.where(valid, diff[0] * inv_d, 0.0)
+        ny = jnp.where(valid, diff[1] * inv_d, 0.0)
+        nz = jnp.where(valid, diff[2] * inv_d, 1.0)
+        n = (nx, ny, nz)
+
+        x_a = tuple(jnp.where(is_g > 0.5, a0[i], cp1[i] - rad_a * n[i]) for i in range(3))
+        x_b = tuple((cp2[i] + rad_b * n[i]) * is_pair for i in range(3))
+
+        def cross(a, b):
+            return (
+                a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0],
+            )
+
+        ra_arm = tuple(x_a[i] - pa[i] for i in range(3))
+        rb_arm = tuple(x_b[i] - pb[i] for i in range(3))
+        ca = cross(wa, ra_arm)
+        cb = cross(wb, rb_arm)
+        v_rel = tuple(va[i] + ca[i] - (vb[i] + cb[i]) * is_pair for i in range(3))
+
+        # tangent basis (engine._tangent_basis_soa)
+        sgn = jnp.where(nz >= 0.0, 1.0, -1.0)
+        a_tb = -1.0 / (sgn + nz)
+        b_tb = nx * ny * a_tb
+        t1 = (1.0 + sgn * nx * nx * a_tb, sgn * b_tb, -sgn * nx)
+        t2 = (b_tb, sgn + ny * ny * a_tb, -ny)
+        v_t1 = dot3(v_rel, t1)
+        v_t2 = dot3(v_rel, t2)
+        v_n = dot3(v_rel, n)
+
+        pen_ref[:] = pen_all
+        for i, arr in enumerate((*x_a, *x_b, *n, v_t1, v_t2, v_n)):
+            feat_ref[i] = arr
+
+    return kernel
+
+
+def narrow_phase_lanes(model, frame, interpret: bool | None = None):
+    """All-candidate contact geometry in one lanes kernel. Returns
+    (pen_all (B, C), feats (B, 12, C)) matching engine._contact_system's
+    phase 1 (feature order: x_a, x_b, n, v_t1, v_t2, v_n)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = _auto_interpret(interpret)
+    oh, knt, J, C, CP = _narrow_tables(model)
+    B = frame.rot.shape[0]
+    LANES = 128
+    Bp = -(-B // LANES) * LANES
+
+    ft = jnp.concatenate(
+        [frame.pos, frame.rot, frame.lin_vel, frame.ang_vel], axis=-1
+    ).transpose(2, 1, 0)  # (13, J, B)
+    if Bp != B:
+        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, Bp - B)))
+
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    pen_l, feat_l = pl.pallas_call(
+        _make_narrow_kernel(J, C, CP),
+        out_shape=(
+            jax.ShapeDtypeStruct((CP, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((12, CP, Bp), jnp.float32),
+        ),
+        grid=(Bp // LANES,),
+        in_specs=[
+            pl.BlockSpec((13, J, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            const_spec(oh.shape),
+            const_spec(knt.shape),
+        ],
+        out_specs=(
+            pl.BlockSpec((CP, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, CP, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(ft, jnp.asarray(oh), jnp.asarray(knt))
+    pen_all = pen_l[:C, :B].T  # (B, C)
+    feats = feat_l[:, :C, :B].transpose(2, 0, 1)  # (B, 12, C)
+    return pen_all, feats
