@@ -1179,6 +1179,28 @@ def _compact_contacts(model, tab, Sc, pen_all, Fd_all, feats, B, J, N, C, A, _st
     )
 
 
+def _psd_round(W):
+    """Round the Gram factor onto the bf16 grid by integer mantissa
+    truncation — the PSD-critical preconditioning of the contact LHS.
+
+    The SPD argument for the implicit contact term requires the Gram
+    W^T W of ONE well-defined rounded factor. An f32->bf16 `astype` does
+    NOT guarantee that on this backend: under --xla_allow_excess_precision
+    (set by the axon terminal) XLA may elide the convert on one einsum
+    operand and not the other, yielding W_bf16^T W_f32 — not a Gram,
+    indefinite by O(10) eigenvalues, NaN Cholesky (observed on v5e;
+    optimization_barrier does NOT stop the elision). Masking the low 16
+    mantissa bits with integer ops is un-elidable, and because the values
+    then sit exactly on the bf16 grid, any further (possibly asymmetric)
+    bf16 rounding inside the MXU is the identity — the product is an
+    exact Gram either way. On CPU this is skipped (f32 einsums are exact
+    and the parity tests compare against the f32 oracle)."""
+    if jax.default_backend() != "tpu":
+        return W
+    Wi = jax.lax.bitcast_convert_type(W, jnp.int32) & jnp.int32(-65536)
+    return jax.lax.bitcast_convert_type(Wi, jnp.float32)
+
+
 def _assemble_jm_batch(Sc, x_a, x_b, t1, t2, n, mA, mB, transposed=False):
     """Merged contact Jacobian from compacted primitives (see the comment
     at the call site). mA/mB are (B, N, A). transposed=False gives
@@ -1299,7 +1321,7 @@ def _physics_substep(model: PhysicsModel, state: PhysicsState, pd_target: jax.Ar
         # relative error (absolute ~8 at c=1e5) on entries that sit next to
         # O(0.1) mass terms and produced NaN factorizations (the phantom
         # every-7-steps force-resets chased in experiments/pd_hold.py).
-        W = cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :]
+        W = _psd_round(cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :])
         lhs = lhs + jnp.einsum("bnm,bkm->bnk", W, W, precision=_CPREC)
     else:
         Q_contact = jnp.zeros((B, N))
@@ -1476,8 +1498,7 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
         # matches what DEFAULT-precision MXU einsums already did to the
         # operands); CPU stays f32 so the fused path is bit-comparable
         # with the legacy loop there (parity test).
-        w_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
-        W = (Jm_p * jnp.sqrt(dt * coef_m)[:, :, None]).astype(w_dtype)
+        W = _psd_round(Jm_p * jnp.sqrt(dt * coef_m)[:, :, None])
         G = jnp.einsum("bmn,bmk->bnk", W, W, precision=_CPREC).astype(jnp.float32)
         # M + armature + dt*Kd diag emitted DIRECTLY in the factor's lanes
         # layout by the combined mass+bias kernel (the XLA M/C built above
@@ -1510,7 +1531,7 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
     # Gram-factored SPD assembly (see _physics_substep): exactly PSD under
     # bf16 rounding, unlike the direct dt*J diag(c) J^T einsum.
     if "gram" not in skip:
-        W = cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :]
+        W = _psd_round(cs.Jm * jnp.sqrt(dt * coef_m)[:, None, :])
         lhs = lhs + jnp.einsum("bnm,bkm->bnk", W, W, precision=_CPREC)
 
     if "solve" in skip:

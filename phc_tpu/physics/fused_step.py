@@ -110,8 +110,15 @@ def _make_substep_kernel(
     forces per contact-frame row, for the XLA-side per-body aggregation).
     """
     def dot(a, b):
+        # HIGHEST precision: these are 0/1 selection / prefix-sum matmuls
+        # against VALUE operands — single-pass bf16 (the Mosaic default)
+        # rounds the values by ~4e-3 relative, which corrupts the mass
+        # matrix by ~0.5 absolute and contact penetrations by millimeters
+        # (observed on hardware; interpret mode is exact and hides it).
         return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def acos(x):

@@ -81,8 +81,15 @@ def _make_bias_kernel(J: int, N: int, g: float, with_mass: bool = False, NP: int
     grav = (0.0, 0.0, g)
 
     def dot(a, b):
+        # HIGHEST precision: these are 0/1 selection / prefix-sum matmuls
+        # against VALUE operands — single-pass bf16 (the Mosaic default)
+        # rounds the values by ~4e-3 relative, which corrupts the mass
+        # matrix by ~0.5 absolute and contact penetrations by millimeters
+        # (observed on hardware; interpret mode is exact and hides it).
         return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def kernel(ft_ref, vt_ref, bodyc_ref, adj_ref, sel_ref, om_ref, *rest):
@@ -254,7 +261,7 @@ def _make_bias_kernel(J: int, N: int, g: float, with_mass: bool = False, NP: int
         anc_m = mtab_ref[0]  # (NP, NP) ancestor-or-self (lower + diag)
         lowT = mtab_ref[1]  # strict upper mask (lower transposed)
         Dc = mtab_ref[2]  # constant diagonal matrix
-        CH = 16
+        CH = 8
         for r in range(0, NP, CH):
             Mlow = sum(
                 jnp.expand_dims(F6p[i][r : r + CH], 1) * jnp.expand_dims(Scp[i], 0)
@@ -352,6 +359,7 @@ def mass_bias_lanes(model, frame, state, interpret: bool | None = None):
             pl.BlockSpec((NP, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((NP, NP, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(
         ft, vt, jnp.asarray(bodyc), jnp.asarray(adj), jnp.asarray(sel),
@@ -443,8 +451,15 @@ def _narrow_tables(model):
 
 def _make_narrow_kernel(J: int, C: int, CP: int):
     def dot(a, b):
+        # HIGHEST precision: these are 0/1 selection / prefix-sum matmuls
+        # against VALUE operands — single-pass bf16 (the Mosaic default)
+        # rounds the values by ~4e-3 relative, which corrupts the mass
+        # matrix by ~0.5 absolute and contact penetrations by millimeters
+        # (observed on hardware; interpret mode is exact and hides it).
         return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def kernel(ft_ref, oh_ref, knt_ref, pen_ref, feat_ref):
