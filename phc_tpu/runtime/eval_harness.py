@@ -408,7 +408,9 @@ def write_by_motion_tsv(path, by_motion: dict) -> None:
     `scripts/train.py:475-479`)."""
     import os
 
-    os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+    d = os.path.dirname(str(path))
+    if d:  # bare relative filenames have no dir to create
+        os.makedirs(d, exist_ok=True)
     keys = by_motion["motion_keys"]
     with open(path, "w") as f:
         f.write(

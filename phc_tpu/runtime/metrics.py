@@ -133,7 +133,9 @@ class MetricsLogger:
         import io
         import os
 
-        os.makedirs(os.path.dirname(str(path)), exist_ok=True)
+        d = os.path.dirname(str(path))
+        if d:  # bare relative filenames have no dir to create
+            os.makedirs(d, exist_ok=True)
         self._f: io.TextIOBase = open(path, "a", buffering=1)
 
     def log(self, record: dict):
