@@ -259,6 +259,11 @@ class AppConfig:
     mode: str = "train"  # train | play | eval | sweep
     exp_name: str = "phc_tpu"
     checkpoint_path: Optional[str] = None
+    # committed .npz policy snapshot (scripts/ckpt_snapshot.py): restores
+    # params + running-norm stats + step counters into the fresh state
+    # (optimizer state re-initializes; pair with
+    # train.lr_decay_start_epoch when continuing a decayed schedule)
+    snapshot_path: Optional[str] = None
     perturb: PerturbConfig = field(default_factory=PerturbConfig)
     env: EnvConfig = field(default_factory=EnvConfig)
     policy: PolicyConfig = field(default_factory=PolicyConfig)

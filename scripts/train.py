@@ -113,6 +113,14 @@ def mode_train(cfg: AppConfig):
     # reference `try_load_checkpoint`, clean_pufferl/utils.py:45-56 —
     # optimizer state and counters included, since the whole PPOState
     # pytree is the checkpoint unit
+    # committed policy snapshot (survives the round-boundary checkpoint
+    # wipe — scripts/ckpt_snapshot.py); a real checkpoint still wins below
+    if cfg.snapshot_path:
+        from scripts.ckpt_snapshot import restore_into
+
+        state = restore_into(cfg.snapshot_path, jax.device_get(state))
+        state = jax.device_put(state)
+        print(f"restored policy snapshot {cfg.snapshot_path}")
     resume_path = (
         ckpt_mod.latest_checkpoint(cfg.train.data_dir, cfg.exp_name) or cfg.checkpoint_path
     )
@@ -362,6 +370,11 @@ def mode_eval(cfg: AppConfig):
     lib, data, env, ppo = build(cfg)
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = jax.jit(lambda r: ppo_mod.init_state(ppo, r))(rng)
+    if cfg.snapshot_path:
+        from scripts.ckpt_snapshot import restore_into
+
+        state = jax.device_put(restore_into(cfg.snapshot_path, jax.device_get(state)))
+        print(f"restored policy snapshot {cfg.snapshot_path}")
     if cfg.checkpoint_path:
         state = ckpt_mod.load_checkpoint(cfg.checkpoint_path, state)
     results = run_eval(cfg, lib, ppo, state)
