@@ -7,7 +7,15 @@ import dataclasses
 import numpy as np
 
 
-def test_mode_sweep_tiny(tmp_path):
+def test_mode_sweep_tiny(tmp_path, monkeypatch):
+    # Defensive cwd pin: in FULL-suite runs this test intermittently dies
+    # with FileNotFoundError('') from a relative filesystem op (it passes
+    # alone and in every pairwise combination tried) — consistent with an
+    # earlier test leaving the process in a deleted temp cwd. Pin to the
+    # repo root so relative paths always resolve.
+    import pathlib
+
+    monkeypatch.chdir(pathlib.Path(__file__).resolve().parent.parent)
     import scripts.train as train_cli
     from phc_tpu.config import AppConfig
 
