@@ -51,6 +51,7 @@ _PREC = jax.lax.Precision.HIGH
 _CPREC = jax.lax.Precision.DEFAULT
 
 from phc_tpu import transforms as T
+from phc_tpu.physics import model as model_mod
 from phc_tpu.physics.model import PhysicsModel
 from phc_tpu.physics.solver import (
     chol_factor_lanes,
@@ -652,15 +653,12 @@ def _tangent_basis(n):
     return t1, t2
 
 
-_CAND_CACHE: dict = {}
-
-
 def _candidate_tables(model: PhysicsModel):
     """Static per-candidate tables over [ground points ++ self pairs]:
     owning bodies (body_b = −1 for the ground plane) and per-dof ancestor
     masks (N,) used to zero non-ancestor Jacobian rows."""
-    key = id(model)
-    hit = _CAND_CACHE.get(key)
+    cache = model_mod.derived_cache(model)
+    hit = cache.get("cand_tables")
     if hit is not None:
         return hit
     P = model.contact_body.shape[0]
@@ -676,7 +674,7 @@ def _candidate_tables(model: PhysicsModel):
         False,
     ).astype(np.float32)
     out = (body_a, body_b, anc_a, anc_b)
-    _CAND_CACHE[key] = out
+    cache["cand_tables"] = out
     return out
 
 
@@ -897,14 +895,11 @@ def _tangent_basis_soa(nx, ny, nz):
     return t1, t2
 
 
-_CAND_CACHE2: dict = {}
-
-
 def _candidate_tables_v2(model: PhysicsModel):
     """Unified static candidate tables: [ground points ++ self pairs].
     Ground points are zero-length 'a' capsules against the z=0 plane."""
-    key = id(model)
-    hit = _CAND_CACHE2.get(key)
+    cache = model_mod.derived_cache(model)
+    hit = cache.get("cand_tables_v2")
     if hit is not None:
         return hit
     P = model.contact_body.shape[0]
@@ -951,7 +946,7 @@ def _candidate_tables_v2(model: PhysicsModel):
         rad_a=rad_a, rad_b=rad_b, is_ground=is_ground, anc_bn=anc_bn,
         stat=stat, bstat=bstat, anc_pad=anc_pad, num_bodies=Jn,
     )
-    _CAND_CACHE2[key] = out
+    cache["cand_tables_v2"] = out
     return out
 
 

@@ -48,9 +48,6 @@ def _cross(a, b):
     )
 
 
-_TABLE_CACHE: dict = {}
-
-
 def _substep_tables(model):
     """Constant tensors for the fused substep kernel:
 
@@ -62,8 +59,10 @@ def _substep_tables(model):
     omT (3, NP, J): transpose — scatters per-body exp-map components back
                  to dof rows (root rows 0..5 stay zero)
     """
-    key = id(model)
-    hit = _TABLE_CACHE.get(key)
+    from phc_tpu.physics.model import derived_cache
+
+    cache = derived_cache(model)
+    hit = cache.get("substep_tables")
     if hit is not None:
         return hit
     J = model.num_bodies
@@ -83,7 +82,7 @@ def _substep_tables(model):
             omT[d, 6 + 3 * (j - 1) + d, j] = 1.0  # exp-map -> dof rows only
 
     out = (cst, om, omT, J, N, NP)
-    _TABLE_CACHE[key] = out
+    cache["substep_tables"] = out
     return out
 
 

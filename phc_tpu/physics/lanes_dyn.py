@@ -419,15 +419,14 @@ def bias_forces_lanes(model, frame, state, interpret: bool | None = None) -> jax
 # concatenate on the (B, C) component chain (~1 ms/ctrl-step traced).
 # ---------------------------------------------------------------------------
 
-_NARROW_CACHE: dict = {}
-
-
 def _narrow_tables(model):
-    key = id(model)
-    hit = _NARROW_CACHE.get(key)
+    from phc_tpu.physics.engine import _candidate_tables_v2
+    from phc_tpu.physics.model import derived_cache
+
+    cache = derived_cache(model)
+    hit = cache.get("narrow_tables")
     if hit is not None:
         return hit
-    from phc_tpu.physics.engine import _candidate_tables_v2
 
     tab = _candidate_tables_v2(model)
     J = model.num_bodies
@@ -445,7 +444,7 @@ def _narrow_tables(model):
     knt[:C, 13] = tab["rad_b"]
     knt[:C, 14] = tab["is_ground"]
     out = (oh, knt, J, C, CP)
-    _NARROW_CACHE[key] = out
+    cache["narrow_tables"] = out
     return out
 
 

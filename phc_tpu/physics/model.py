@@ -18,6 +18,19 @@ from typing import Optional
 import numpy as np
 
 
+def derived_cache(model: "PhysicsModel") -> dict:
+    """Per-model memo dict for derived constant tables (candidate tables,
+    kernel layouts, ...). Stored on the model instance itself (via
+    object.__setattr__, legal on frozen dataclasses) so the cache's lifetime
+    is exactly the model's — unlike the earlier id(model)-keyed module
+    globals, a recycled address can never alias a new model's tables."""
+    cache = model.__dict__.get("_derived_cache")
+    if cache is None:
+        cache = {}
+        object.__setattr__(model, "_derived_cache", cache)
+    return cache
+
+
 @dataclass(frozen=True)
 class PhysicsModel:
     """Static articulated-body model (trace-time constant)."""

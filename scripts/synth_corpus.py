@@ -216,6 +216,69 @@ def main_ctx(out_path: str = "data/synth_corpus_ctx.pkl"):
     return out_p
 
 
+def main_ctx2(out_path: str = "data/synth_corpus_ctx2.pkl"):
+    """Round-5 frontier corpus: ctx ladder + fine + overspeed rungs.
+
+    The r4 production run (experiments/tpu_ctx2_r4) closed every kick rung
+    through s0.89 but left s0.94 and s1.00 open — and 1.0x is the TERMINAL
+    rung of the ladder, so PMCP has no gradient past it. Two fixes, per the
+    r4 verdict: (a) densify the ladder around the frontier (0.92/0.96/0.98
+    on the kick/lead windows, making the 0.89->0.94->1.00 jumps ~2-4%
+    instead of ~5.5%), (b) add overspeed rungs (1.05/1.10/1.15 kick/lead,
+    1.05/1.10 full) so the 1.0x target sits INSIDE the graded range.
+    All 120 ctx keys are kept verbatim so eval TSVs remain comparable with
+    tpu_ctx2_r4's ladder history. 166 clips total."""
+    raw = joblib.load(SAMPLE)
+    (base_key, base), = list(raw.items())[:1]
+    grot0 = np.asarray(base["pose_quat_global"], np.float32)
+    trans0 = np.asarray(base["root_trans_offset"], np.float32)
+    fps = float(base.get("fps", 30))
+    F = grot0.shape[0]
+
+    out = {}
+
+    def add(key, g, t):
+        out[key] = {
+            "pose_quat_global": g,
+            "root_trans_offset": t,
+            "fps": fps,
+            "beta": np.zeros(16, np.float32),
+            "gender": "neutral",
+        }
+
+    windows = [
+        ("kick", 20, 75),
+        ("lead10", 10, 75),
+        ("lead0", 0, 75),
+        ("ext110", 0, 110),
+        ("ext150", 0, 150),
+        ("full", 0, F),
+    ]
+    base_speeds = list(np.linspace(0.5, 1.0, 10))
+    fine = [0.92, 0.96, 0.98]          # densify the open 0.89->1.00 gap
+    over = [1.05, 1.10, 1.15]          # make 1.0x interior, not terminal
+    for wname, a, b in windows:
+        b = min(b, F)
+        speeds = list(base_speeds)
+        if wname in ("kick", "lead10", "lead0"):
+            speeds += fine + over
+        elif wname == "full":
+            speeds += [1.05, 1.10]
+        for sp in speeds:
+            for mirrored in (False, True):
+                tag = f"s{sp:.2f}{'_mir' if mirrored else ''}"
+                g, t = timewarp_clip(grot0[a:b], trans0[a:b], float(sp))
+                if mirrored:
+                    g, t = mirror_clip(g, t)
+                add(f"{base_key}_{wname}_{tag}", g, t)
+
+    out_p = Path(out_path)
+    out_p.parent.mkdir(parents=True, exist_ok=True)
+    joblib.dump(out, out_p)
+    print(f"wrote {len(out)} frontier-graded clips to {out_p}")
+    return out_p
+
+
 def main_big(out_path: str = "data/synth_corpus_1k.pkl", target: int = 1280):
     """>=1k-clip corpus for corpus-scale eval demonstration (r3 VERDICT #6:
     the streaming eval harness is sized for the 11,313-motion AMASS sweep,
@@ -329,6 +392,12 @@ if __name__ == "__main__":
             sys.argv[sys.argv.index("--out") + 1]
             if "--out" in sys.argv
             else "data/synth_corpus_ctx.pkl"
+        )
+    elif "--ctx2" in sys.argv:
+        main_ctx2(
+            sys.argv[sys.argv.index("--out") + 1]
+            if "--out" in sys.argv
+            else "data/synth_corpus_ctx2.pkl"
         )
     elif "--big" in sys.argv:
         main_big(
