@@ -54,6 +54,13 @@ class RobotConfig:
     freeze_hand: bool = True
     freeze_toe: bool = True
     bias_offset: bool = False
+    # Shape-conditioned self obs (reference `common.py:96-97` has_smpl_params
+    # branch; `config.py` robot.has_shape_obs — constant False in the fork,
+    # so off by default for parity). When on, the 11-dim SMPL shape vector
+    # [gender, betas[:10]] of each env's assigned motion (motion_bodies,
+    # reference `humanoid_shapes[:, :-6]`, humanoid_phc.py:968) is appended
+    # to the self obs: 934 -> 945 total.
+    has_shape_obs: bool = False
 
 
 @dataclass

@@ -118,6 +118,8 @@ class HumanoidEnv:
         # the self part loses the root-height slot when root_height_obs=False
         J = self.num_bodies
         self_dim = (1 if self.cfg.root_height_obs else 0) + J * 15 - 3
+        if self.cfg.robot.has_shape_obs:
+            self_dim += 11  # [gender, betas[:10]] (reference common.py:96-97)
         # per-tracked-body imitation width: 3 diff_pos + 6 diff_rot + 3
         # diff_vel + 3 diff_ang_vel + 3 local_ref_pos + 6 local_ref_rot = 24
         # (equals J only for the 24-body SMPL skeleton)
@@ -287,6 +289,9 @@ def _compute_obs(env: HumanoidEnv, frame, ref: MotionState) -> jax.Array:
         root_height_obs=env.cfg.root_height_obs,
         local_root_obs=env.cfg.local_root_obs,
         upright=env.cfg.robot.has_upright_start,
+        # 11-dim [gender, betas[:10]] of the env's assigned motion
+        # (reference humanoid_shapes[:, :-6], humanoid_phc.py:968)
+        shape_params=ref.motion_bodies[:, :-6] if env.cfg.robot.has_shape_obs else None,
     )
     tb = jnp.asarray(env.track_body_ids)
     task_obs = kernels.compute_imitation_obs(

@@ -36,14 +36,17 @@ def compute_self_obs(
     root_height_obs: bool = True,
     local_root_obs: bool = True,
     upright: bool = True,
+    shape_params: jax.Array | None = None,
 ) -> jax.Array:
     """Heading-local proprioceptive obs, (B, [1 +] J*15 - 3) = (B, 358) for SMPL.
 
     Port of `compute_humanoid_observations_smpl_max` (common.py:23-103); the
-    flags mirror the reference's (no shape/limb obs — the fork never enables
-    them, `config.py:53-56`). local_root_obs=False overrides the root's 6d
-    rotation obs with the global (non-heading-local) rotation (:77-79);
-    upright=False removes the asset base rotation first (:41-42).
+    flags mirror the reference's. local_root_obs=False overrides the root's
+    6d rotation obs with the global (non-heading-local) rotation (:77-79);
+    upright=False removes the asset base rotation first (:41-42);
+    shape_params (B, 11) appends the SMPL shape vector, the reference's
+    has_smpl_params branch (common.py:96-97) — None (parity default) omits
+    it, matching the fork's constant has_shape_obs=False.
     """
     root_pos = body_pos[:, 0]
     root_rot = body_rot[:, 0]
@@ -71,6 +74,8 @@ def compute_self_obs(
     if root_height_obs:
         parts.append(root_h)
     parts += [local_body_pos, local_body_rot_obs, local_body_vel, local_body_ang_vel]
+    if shape_params is not None:
+        parts.append(shape_params)
     return jnp.concatenate(parts, axis=-1)
 
 

@@ -92,14 +92,39 @@ class MeshSpec:
         """
         ts = self.model_size
 
-        def spec_for(path, x):
-            shape = getattr(x, "shape", ())
+        def kernel_spec(shape):
             if len(shape) == 2:
                 if shape[1] % ts == 0 and shape[1] >= min_dim:
                     return P(None, MODEL_AXIS)  # column parallel
                 if shape[0] % ts == 0 and shape[0] >= min_dim:
                     return P(MODEL_AXIS, None)  # row parallel
-            if len(shape) == 1 and shape[0] % ts == 0 and shape[0] >= min_dim:
+            return P()
+
+        # Pre-pass: classify 2-D kernels by their module path, so 1-D
+        # params shard ONLY when they are the bias of a column-parallel
+        # kernel (a row-parallel layer's wide output bias or a norm scale
+        # is replicated after the psum; sharding it by mere width made
+        # GSPMD insert reshards — r4 advisor finding).
+        col_modules = set()
+
+        def classify(path, x):
+            shape = getattr(x, "shape", ())
+            if len(shape) == 2 and kernel_spec(shape) == P(None, MODEL_AXIS):
+                col_modules.add(jax.tree_util.keystr(path[:-1]))
+            return x
+
+        jax.tree_util.tree_map_with_path(classify, params)
+
+        def spec_for(path, x):
+            shape = getattr(x, "shape", ())
+            if len(shape) == 2:
+                return kernel_spec(shape)
+            if (
+                len(shape) == 1
+                and shape[0] % ts == 0
+                and shape[0] >= min_dim
+                and jax.tree_util.keystr(path[:-1]) in col_modules
+            ):
                 # bias of a column-parallel layer rides the same shards
                 return P(MODEL_AXIS)
             return P()

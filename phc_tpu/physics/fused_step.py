@@ -336,6 +336,7 @@ def frozen_substeps_fused(
     pd_target, Q_ext=None,
     interpret: bool | None = None,
     lanes_inputs: bool = False,
+    jm_transposed: bool = False,
 ):
     """Run all frozen-mode substeps in one Pallas kernel.
 
@@ -408,10 +409,12 @@ def frozen_substeps_fused(
 
     # contact Jacobian to lanes: -> (NP, MP, Bp). One relayout pass — the
     # kernel then reads it exactly once per control step (the XLA loop
-    # read it 2x per substep). Accepts either (B, rows, 3A) or the
-    # transposed (B, 3A, rows) Gram-operand layout the fused engine path
-    # emits (section-padded primitives make both pure transposes).
-    if Jm.shape[1] == M3 and Jm.shape[2] != M3:
+    # read it 2x per substep). jm_transposed says which layout the caller
+    # passed: False = (B, rows, 3A); True = the (B, 3A, rows) Gram-operand
+    # layout the fused engine path emits. An explicit flag — the layouts
+    # were previously inferred by shape sniffing, which is ambiguous
+    # exactly when NPad == 3A (r4 advisor finding).
+    if jm_transposed:
         Jm_l = Jm.transpose(2, 1, 0)  # (rows, 3A, B)
     else:
         Jm_l = Jm.transpose(1, 2, 0)

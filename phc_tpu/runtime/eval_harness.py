@@ -336,7 +336,9 @@ def evaluate_policy(
         per_motion["terminated"].append(np.asarray(a.terminated[:real]))
         per_motion["played"].append(np.asarray(a.played[:real]))
         per_motion["motion_steps"].append(motion_steps[:real])
-        per_motion["mpjpe"].append((a.sum_step_mpjpe / np.maximum(ne, 1))[:real])
+        # mm, like every other mpjpe column (r4 verdict weak #7: this one
+        # column was meters while mpjpe_g/mpjpe_g_alive were mm)
+        per_motion["mpjpe"].append((a.sum_step_mpjpe / np.maximum(ne, 1) * 1000.0)[:real])
         per_motion["mpjpe_g"].append((a.sum_g / ne * 1000.0)[:real])
         # while-alive global mpjpe: masked to pre-termination steps, so
         # failed clips report their tracking quality instead of post-fall
@@ -413,13 +415,15 @@ def write_by_motion_tsv(path, by_motion: dict) -> None:
         os.makedirs(d, exist_ok=True)
     keys = by_motion["motion_keys"]
     with open(path, "w") as f:
+        # all three mpjpe columns are mm (suffix makes the r5 unit change
+        # grep-able against r1-r4 TSVs whose `mpjpe` column was meters)
         f.write(
-            "motion_key\tsuccess\tmotion_length\tplayed_steps\tmpjpe\tmpjpe_g\tmpjpe_g_alive\n"
+            "motion_key\tsuccess\tmotion_length\tplayed_steps\tmpjpe_mm\tmpjpe_g\tmpjpe_g_alive\n"
         )
         for i, k in enumerate(keys):
             f.write(
                 f"{k}\t{int(by_motion['success'][i])}\t{int(by_motion['motion_length'][i])}"
-                f"\t{int(by_motion['played_steps'][i])}\t{float(by_motion['mpjpe'][i]):.5f}"
+                f"\t{int(by_motion['played_steps'][i])}\t{float(by_motion['mpjpe'][i]):.2f}"
                 f"\t{float(by_motion['mpjpe_g'][i]):.2f}"
                 f"\t{float(by_motion['mpjpe_g_alive'][i]):.2f}\n"
             )

@@ -16,8 +16,13 @@ import os
 def setup_cache(cache_dir: str | None = None) -> None:
     import jax
 
-    cache_dir = cache_dir or os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_compile")
+    # `or`-chain so a SET-BUT-EMPTY env var falls through to the default
+    # (makedirs('') raises; an empty var was the r4 suite's order-dependent
+    # test_mode_sweep_tiny failure, leaked by the old __graft_entry__)
+    cache_dir = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.expanduser("~/.cache/jax_compile")
     )
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -215,6 +215,11 @@ def mode_train(cfg: AppConfig):
 
     drain_pending.last_global = global_step
 
+    # The metrics pipeline is one epoch deep, so `global_step` lags the
+    # device by one epoch and the loop can overshoot total_timesteps by up
+    # to one epoch of steps (~131k of 500M+). Accepted: a host-side
+    # optimistic estimate would stop the dispatch pipeline early and cost
+    # more in lost overlap than the overshoot is worth (r4 advisor note).
     while global_step < cfg.train.total_timesteps:
         # --- motion resampling (reference train.py:326-333; seq_motions
         # walks the corpus in order instead of PMCP-weighted sampling,

@@ -90,3 +90,33 @@ def test_eval_mode_env_builds(setup):
     state, obs = reset_all(env_eval, data, jax.random.PRNGKey(0))
     # eval resets start at motion time 0
     np.testing.assert_allclose(np.asarray(state.motion_times_start), 0.0)
+
+
+def test_shape_obs_contract():
+    """Flag-gated SMPL shape obs (reference common.py:96-97 has_smpl_params;
+    off by default for parity with the fork's constant has_shape_obs=False).
+    When on: num_obs 934 -> 945 and the 11 extra self-obs slots carry the
+    env's motion [gender, betas[:10]] (reference humanoid_phc.py:968)."""
+    import dataclasses
+
+    cfg = EnvConfig(num_envs=B, motion_file=SAMPLE_PKL, state_init=StateInit.Random)
+    cfg = dataclasses.replace(
+        cfg, robot=dataclasses.replace(cfg.robot, has_shape_obs=True)
+    )
+    lib = MotionLib(SAMPLE_PKL, is_deterministic=True, step_dt=1.0 / 30.0)
+    data = lib.load_motions(num_motions=B)
+    env = make_env(cfg, motion_ids=np.arange(B) % lib.num_unique_motions)
+    assert env.num_obs == 945
+
+    state, obs = reset_all(env, data, jax.random.PRNGKey(0))
+    assert obs.shape == (B, 945)
+    step_j = jax.jit(lambda s, a: step(env, data, s, a))
+    state2, out = step_j(state, jnp.zeros((B, 69)))
+    assert out.obs.shape == (B, 945)
+    assert np.isfinite(np.asarray(out.obs)).all()
+
+    # the shape slots sit at the end of the self-obs block (358:369) and
+    # equal the assigned motions' [gender, betas[:10]]
+    expect = np.asarray(data.motion_bodies)[np.asarray(state2.motion_ids)][:, :-6]
+    got = np.asarray(out.obs[:, 358:369])
+    np.testing.assert_allclose(got, expect, atol=1e-6)

@@ -315,3 +315,103 @@ def test_tp_mlp_sharding_forward_and_grads():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
         )
+
+
+_DIST_SCRIPT = r"""
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]; tmp = sys.argv[4]
+sys.path.insert(0, r"%(repo)s")
+import numpy as np
+# the sandbox preloads jax with the axon platform; the config switch is
+# the only reliable override (same note as conftest.py). XLA_FLAGS
+# (--xla_force_host_platform_device_count=1: one local CPU device per
+# process -> a 2-device global mesh across the process boundary) must
+# arrive via the spawn env, before the interpreter preload.
+import jax, jax.numpy as jnp
+jax.config.update("jax_platforms", "cpu")
+from phc_tpu.parallel.mesh import initialize_distributed
+
+initialize_distributed(coordinator=f"localhost:{port}", num_processes=nproc, process_id=pid)
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == nproc, jax.devices()
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+mesh = Mesh(np.asarray(jax.devices()).reshape(nproc), ("data",))
+W0 = jnp.full((4, 4), 1.0)
+
+# one data-parallel "train step": per-shard grad of a quadratic loss on the
+# local batch shard, pmean over the data axis, SGD step
+def local_step(W, xb):
+    def loss(W):
+        return jnp.mean((xb @ W) ** 2)
+    g = jax.grad(loss)(W)
+    g = jax.lax.pmean(g, "data")
+    return W - 0.1 * g
+
+step = jax.jit(shard_map(
+    local_step, mesh=mesh,
+    in_specs=(P(), P("data", None)), out_specs=P(),
+))
+# global batch: 8 rows, each process owns 4; both processes build the SAME
+# global array (deterministic), jax shards it by process
+xg = jnp.arange(32.0).reshape(8, 4) / 32.0
+xs = jax.device_put(xg, NamedSharding(mesh, P("data", None)))
+Ws = jax.device_put(W0, NamedSharding(mesh, P()))
+W1 = step(Ws, xs)
+# replicated output: read this process's addressable shard
+W1_local = np.asarray(W1.addressable_shards[0].data)
+
+# coherent checkpoint save/load across the process boundary (orbax
+# multi-process: all processes participate, process 0 writes metadata)
+import orbax.checkpoint as ocp
+path = os.path.join(tmp, "dist_ckpt")
+ckptr = ocp.PyTreeCheckpointer()
+ckptr.save(path, {"W": W1}, force=True)
+restored = ckptr.restore(path)
+np.testing.assert_allclose(np.asarray(restored["W"]), W1_local, rtol=1e-6)
+print(f"DIST_OK pid={pid} W1sum={float(np.asarray(W1).sum()):.6f}")
+"""
+
+
+def test_two_process_distributed_smoke(tmp_path):
+    """Two spawned processes + jax.distributed over localhost: a 2-device
+    cross-process mesh runs one shard_map DP train step (pmean'd grads) and
+    a coherent orbax checkpoint save/load (VERDICT r4 #8; SURVEY 5.8)."""
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = str(s.getsockname()[1])
+
+    script = _DIST_SCRIPT % {"repo": repo}
+    env = dict(__import__("os").environ)
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-c", script, str(i), "2", port, str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"distributed proc failed:\n{err[-3000:]}"
+        assert "DIST_OK" in out
+    # both processes computed the identical post-pmean update
+    sums = {line.split("W1sum=")[1] for rc, out, _ in outs for line in out.splitlines() if "DIST_OK" in line}
+    assert len(sums) == 1, sums

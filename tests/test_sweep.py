@@ -7,15 +7,13 @@ import dataclasses
 import numpy as np
 
 
-def test_mode_sweep_tiny(tmp_path, monkeypatch):
-    # Defensive cwd pin: in FULL-suite runs this test intermittently dies
-    # with FileNotFoundError('') from a relative filesystem op (it passes
-    # alone and in every pairwise combination tried) — consistent with an
-    # earlier test leaving the process in a deleted temp cwd. Pin to the
-    # repo root so relative paths always resolve.
-    import pathlib
-
-    monkeypatch.chdir(pathlib.Path(__file__).resolve().parent.parent)
+def test_mode_sweep_tiny(tmp_path):
+    # (The r1-r4 order-dependent FileNotFoundError('') here was
+    # test_parallel importing __graft_entry__, which set
+    # JAX_COMPILATION_CACHE_DIR="" process-wide; setup_cache then ran
+    # makedirs(''). Fixed at the source — __graft_entry__ uses the
+    # JAX_ENABLE_COMPILATION_CACHE kill switch and setup_cache treats an
+    # empty env var as unset.)
     import scripts.train as train_cli
     from phc_tpu.config import AppConfig
 
