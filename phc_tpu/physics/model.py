@@ -98,12 +98,17 @@ class PhysicsModel:
     # contact compaction: per env, only the max_contacts deepest-penetrating
     # candidates (of the ~310 static ground points + self-collision pairs)
     # get Jacobian rows each substep. Exact whenever <= max_contacts are
-    # simultaneously active (typical humanoid: < 40); 5x less Jacobian/LHS
-    # work than the dense path. 0 = dense (no compaction).
-    # 42 makes the merged contact-frame Jacobian exactly one MXU K-tile wide
-    # (3A = 126 -> 128): the two dominant substep matmuls (J build, J c J^T)
-    # halve vs 64 (3A = 192 -> 256) at no observed contact-overflow cost.
-    max_contacts: int = 42
+    # simultaneously active; 5x less Jacobian/LHS work than the dense path.
+    # 0 = dense (no compaction).
+    # 40 divides the 8-sublane tile exactly, so the r4 section padding
+    # (slots -> ceil8) adds NO dead slots: the merged Jacobian is 3A = 120
+    # live columns (vs 42 -> pad 48 -> 144 with 18 dead columns, -17%
+    # across the Jacobian/Gram/W/fused-kernel chain). Safety margin
+    # measured on 512 envs x 200 random-action fall steps (the
+    # contact-richest regime, /tmp census r5): max simultaneous pen>0
+    # candidates 18, max within the 3 cm mid-substep activation band 30 —
+    # both well under 40.
+    max_contacts: int = 40
     # SPD solver for the substep: "auto" = Pallas lanes Cholesky on TPU,
     # recursive-Schur block inverse elsewhere; "lanes"/"schur" force one.
     solver: str = "auto"
