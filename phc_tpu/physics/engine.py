@@ -986,6 +986,15 @@ def _contact_system(
     if solver == "lanes" and _stage == "full":
         from phc_tpu.physics import lanes_dyn
 
+        if A < C and A % 8 == 0:
+            # fused narrow phase + in-VMEM top-A compaction: the sort,
+            # the pred one-hot chain and the (B, 12, C) feature
+            # materialization never leave the kernel (see
+            # lanes_dyn._make_narrow_topk_kernel)
+            pre = lanes_dyn.narrow_phase_topk_lanes(model, frame, A)
+            return _compact_contacts(
+                model, tab, Sc, None, None, None, B, J, N, C, A, _stage, pre=pre
+            )
         pen_all, Fd_all = lanes_dyn.narrow_phase_lanes(model, frame)
         return _compact_contacts(model, tab, Sc, pen_all, Fd_all, None, B, J, N, C, A, _stage)
 
@@ -1070,15 +1079,25 @@ def _contact_system(
     return _compact_contacts(model, tab, Sc, pen_all, None, feats, B, J, N, C, A, _stage)
 
 
-def _compact_contacts(model, tab, Sc, pen_all, Fd_all, feats, B, J, N, C, A, _stage="full"):
+def _compact_contacts(model, tab, Sc, pen_all, Fd_all, feats, B, J, N, C, A, _stage="full", pre=None):
     """Top-k compaction + Jacobian assembly over narrow-phase outputs.
 
     Features arrive either stacked (B, 12, C) from the lanes kernel
-    (Fd_all) or as 12 (B, C) comps from the XLA oracle path (feats).
+    (Fd_all), as 12 (B, C) comps from the XLA oracle path (feats), or
+    ALREADY COMPACTED from the fused top-k kernel (pre = (pen (B, A),
+    fsel (B, A, 12), bsel (B, A, 3)) — the TPU production path).
     Feature order: x_a(3), x_b(3), n(3), v_t1, v_t2, v_n.
     """
     NP = -(-N // 8) * 8
-    if A < C:
+    if pre is not None:
+        pen, fsel_k, bsel = pre
+        AP = A  # the kernel path requires 8-aligned A: no pad slots
+        fs = tuple(fsel_k[..., i] for i in range(12))
+        is_pair_s = 1.0 - bsel[..., 2]
+        jid = jnp.arange(tab["num_bodies"], dtype=pen.dtype)
+        oh_a = (bsel[..., 0:1] == jid).astype(pen.dtype)
+        oh_b = (bsel[..., 1:2] == jid).astype(pen.dtype) * is_pair_s[..., None]
+    elif A < C:
         AP = -(-A // 8) * 8  # section-padded slot count (8-aligned)
         pen, idx = jax.lax.top_k(pen_all, A)  # (B, A)
         # one-hot rows built directly in the MXU operand dtype on TPU (the

@@ -443,12 +443,24 @@ def _narrow_tables(model):
     knt[:C, 12] = tab["rad_a"]
     knt[:C, 13] = tab["rad_b"]
     knt[:C, 14] = tab["is_ground"]
-    out = (oh, knt, J, C, CP)
+    # per-candidate [body_a, body_b0, is_ground] triple (bstat column
+    # order of engine's tables) — consumed by the in-kernel top-k
+    # compaction; pad rows get body id -1 like engine's padded slots
+    bst = np.full((CP, 8), -1.0, np.float32)
+    bst[:C, 0] = tab["body_a"].astype(np.float32)
+    bst[:C, 1] = np.maximum(tab["body_b"], 0).astype(np.float32)
+    bst[:C, 2] = tab["is_ground"]
+    out = (oh, knt, bst, J, C, CP)
     cache["narrow_tables"] = out
     return out
 
 
-def _make_narrow_kernel(J: int, C: int, CP: int):
+def _narrow_geometry(ft, OHa, OHb, knt_ref):
+    """Shared narrow-phase geometry on lanes-layout values: from packed
+    frame rows (13, J, L) to per-candidate penetration + 12 features
+    (each (CP, L)). Used by both the plain kernel (writes everything out)
+    and the fused top-k kernel (compacts in VMEM first)."""
+
     def dot(a, b):
         # HIGHEST precision: these are 0/1 selection / prefix-sum matmuls
         # against VALUE operands — single-pass bf16 (the Mosaic default)
@@ -461,11 +473,7 @@ def _make_narrow_kernel(J: int, C: int, CP: int):
             precision=jax.lax.Precision.HIGHEST,
         )
 
-    def kernel(ft_ref, oh_ref, knt_ref, pen_ref, feat_ref):
-        L = ft_ref.shape[-1]
-        ft = ft_ref[:]
-        OHa, OHb = oh_ref[0], oh_ref[1]
-
+    if True:  # keep the original kernel body's indentation
         pos = tuple(ft[i] for i in range(3))  # (J, L)
         qx, qy, qz, qw = ft[3], ft[4], ft[5], ft[6]
         lin = tuple(ft[7 + i] for i in range(3))
@@ -581,11 +589,112 @@ def _make_narrow_kernel(J: int, C: int, CP: int):
         v_t2 = dot3(v_rel, t2)
         v_n = dot3(v_rel, n)
 
+    return pen_all, (*x_a, *x_b, *n, v_t1, v_t2, v_n)
+
+
+def _make_narrow_kernel(J: int, C: int, CP: int):
+    def kernel(ft_ref, oh_ref, knt_ref, pen_ref, feat_ref):
+        pen_all, feats = _narrow_geometry(ft_ref[:], oh_ref[0], oh_ref[1], knt_ref)
         pen_ref[:] = pen_all
-        for i, arr in enumerate((*x_a, *x_b, *n, v_t1, v_t2, v_n)):
+        for i, arr in enumerate(feats):
             feat_ref[i] = arr
 
     return kernel
+
+
+def _make_narrow_topk_kernel(J: int, C: int, CP: int, A: int):
+    """Narrow phase + in-VMEM top-A compaction in ONE kernel.
+
+    Replaces the XLA chain [full (B, C) sort -> pred one-hot build ->
+    relayout copies -> three selection einsums -> (12, C, B) feature
+    materialization] (~1.2 ms/ctrl step traced on v5e) with A sequential
+    masked argmax extractions over the (CP, L) candidate block already
+    sitting in VMEM. Selection order and tie-breaks match jax.lax.top_k
+    exactly (descending penetration, lowest candidate index on ties), so
+    the compaction semantics are bit-identical to the engine's oracle
+    path; the selected features stay f32 end-to-end (the XLA path rounds
+    them through the bf16 selection matmul).
+    """
+
+    def kernel(ft_ref, oh_ref, knt_ref, bst_ref, pen_ref, feat_ref, bsel_ref):
+        pen_all, feats = _narrow_geometry(ft_ref[:], oh_ref[0], oh_ref[1], knt_ref)
+        L = pen_all.shape[-1]
+        # Mosaic iota must be integer-typed; compare/select in f32
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (CP, L), 0).astype(jnp.float32)
+        # candidate-pad rows (c >= C) carry garbage geometry — never select
+        avail = jnp.where(iota_c < float(C), 1.0, 0.0)
+        bcols = tuple(bst_ref[:, s : s + 1] for s in range(3))  # (CP, 1)
+        BIG = jnp.float32(1e30)
+        for a in range(A):
+            v = jnp.where(avail > 0.5, pen_all, -BIG)
+            mx = jnp.max(v, axis=0, keepdims=True)  # (1, L)
+            # first-index tie-break (== lax.top_k's stable order)
+            idxv = jnp.where(v == mx, iota_c, jnp.float32(CP))
+            am = jnp.min(idxv, axis=0, keepdims=True)  # (1, L)
+            ohf = jnp.where(iota_c == am, 1.0, 0.0)  # exact one-hot (CP, L)
+            avail = avail - ohf
+            pen_ref[a : a + 1, :] = mx
+            for f in range(12):
+                feat_ref[f, a : a + 1, :] = jnp.sum(
+                    feats[f] * ohf, axis=0, keepdims=True
+                )
+            for s in range(3):
+                bsel_ref[s, a : a + 1, :] = jnp.sum(
+                    bcols[s] * ohf, axis=0, keepdims=True
+                )
+
+    return kernel
+
+
+def narrow_phase_topk_lanes(model, frame, A: int, interpret: bool | None = None):
+    """Fused narrow phase + top-A compaction. Returns batch-major
+    (pen_sel (B, A), fsel (B, A, 12), bsel (B, A, 3)) matching what
+    engine._compact_contacts computes from top_k + one-hot selection
+    (feature order x_a, x_b, n, v_t1, v_t2, v_n; bsel columns
+    [body_a, body_b0, is_ground])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = _auto_interpret(interpret)
+    oh, knt, bst, J, C, CP = _narrow_tables(model)
+    B = frame.rot.shape[0]
+    LANES = 128
+    Bp = -(-B // LANES) * LANES
+
+    ft = jnp.concatenate(
+        [frame.pos, frame.rot, frame.lin_vel, frame.ang_vel], axis=-1
+    ).transpose(2, 1, 0)  # (13, J, B)
+    if Bp != B:
+        ft = jnp.pad(ft, ((0, 0), (0, 0), (0, Bp - B)))
+
+    const_spec = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    pen_l, feat_l, bsel_l = pl.pallas_call(
+        _make_narrow_topk_kernel(J, C, CP, A),
+        out_shape=(
+            jax.ShapeDtypeStruct((A, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((12, A, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((3, A, Bp), jnp.float32),
+        ),
+        grid=(Bp // LANES,),
+        in_specs=[
+            pl.BlockSpec((13, J, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            const_spec(oh.shape),
+            const_spec(knt.shape),
+            const_spec(bst.shape),
+        ],
+        out_specs=(
+            pl.BlockSpec((A, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(ft, jnp.asarray(oh), jnp.asarray(knt), jnp.asarray(bst))
+    pen_sel = pen_l[:, :B].T  # (B, A)
+    fsel = feat_l[:, :, :B].transpose(2, 1, 0)  # (B, A, 12)
+    bsel = bsel_l[:, :, :B].transpose(2, 1, 0)  # (B, A, 3)
+    return pen_sel, fsel, bsel
 
 
 def narrow_phase_lanes(model, frame, interpret: bool | None = None):
@@ -596,7 +705,7 @@ def narrow_phase_lanes(model, frame, interpret: bool | None = None):
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = _auto_interpret(interpret)
-    oh, knt, J, C, CP = _narrow_tables(model)
+    oh, knt, _bst, J, C, CP = _narrow_tables(model)
     B = frame.rot.shape[0]
     LANES = 128
     Bp = -(-B // LANES) * LANES
