@@ -602,7 +602,7 @@ def _make_narrow_kernel(J: int, C: int, CP: int):
     return kernel
 
 
-def _make_narrow_topk_kernel(J: int, C: int, CP: int, A: int):
+def _make_narrow_topk_kernel(J: int, C: int, CP: int, A: int, packed: bool):
     """Narrow phase + in-VMEM top-A compaction in ONE kernel.
 
     Replaces the XLA chain [full (B, C) sort -> pred one-hot build ->
@@ -612,8 +612,19 @@ def _make_narrow_topk_kernel(J: int, C: int, CP: int, A: int):
     sitting in VMEM. Selection order and tie-breaks match jax.lax.top_k
     exactly (descending penetration, lowest candidate index on ties), so
     the compaction semantics are bit-identical to the engine's oracle
-    path; the selected features stay f32 end-to-end (the XLA path rounds
-    them through the bf16 selection matmul).
+    path.
+
+    packed=True (the hardware path): the extraction's per-pass cost is
+    reductions over the 320-row candidate axis, so the 12 features are
+    bf16-truncated and bit-packed in PAIRS into int32 rows (6 sums
+    instead of 12) and the three body-id columns into one small-integer
+    row (1 sum instead of 3) — 9 reductions/pass instead of 17. The sums
+    run in INTEGER (exact; float sums would flush packed denormals, e.g.
+    ground contacts' exactly-zero x_b). bf16 feature precision equals
+    what the pre-r5 XLA path's bf16 selection matmul already applied,
+    and hardware behavior is re-validated by the trained-policy eval
+    probe. packed=False (interpret/CPU) keeps f32 features end-to-end
+    and is what the oracle-parity test pins.
     """
 
     def kernel(ft_ref, oh_ref, knt_ref, bst_ref, pen_ref, feat_ref, bsel_ref):
@@ -623,8 +634,43 @@ def _make_narrow_topk_kernel(J: int, C: int, CP: int, A: int):
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (CP, L), 0).astype(jnp.float32)
         # candidate-pad rows (c >= C) carry garbage geometry — never select
         avail = jnp.where(iota_c < float(C), 1.0, 0.0)
-        bcols = tuple(bst_ref[:, s : s + 1] for s in range(3))  # (CP, 1)
         BIG = jnp.float32(1e30)
+
+        if packed:
+            # 6 int32 rows: [bf16(f[2j]) bits | bf16(f[2j+1]) bits]
+            def hi16(x):
+                return jax.lax.bitcast_convert_type(x, jnp.int32) & jnp.int32(-65536)
+
+            pk = [
+                hi16(feats[2 * j])
+                | jax.lax.shift_right_logical(
+                    jax.lax.bitcast_convert_type(feats[2 * j + 1], jnp.int32)
+                    & jnp.int32(-65536),
+                    jnp.int32(16),
+                )
+                for j in range(6)
+            ]
+            # small exact ints: body_a + 32*body_b0 + 1024*is_ground
+            cmb = (
+                bst_ref[:, 0:1] + 32.0 * bst_ref[:, 1:2] + 1024.0 * bst_ref[:, 2:3]
+            ).astype(jnp.int32) + jnp.zeros((CP, L), jnp.int32)
+            rows = pk + [cmb]  # 7 int32 (CP, L) rows
+            for a in range(A):
+                v = jnp.where(avail > 0.5, pen_all, -BIG)
+                mx = jnp.max(v, axis=0, keepdims=True)
+                idxv = jnp.where(v == mx, iota_c, jnp.float32(CP))
+                am = jnp.min(idxv, axis=0, keepdims=True)
+                oh1 = iota_c == am
+                avail = avail - jnp.where(oh1, 1.0, 0.0)
+                pen_ref[a : a + 1, :] = mx
+                for r in range(7):
+                    feat_ref[r, a : a + 1, :] = jnp.sum(
+                        jnp.where(oh1, rows[r], 0), axis=0, keepdims=True
+                    )
+            bsel_ref[:] = jnp.zeros_like(bsel_ref)  # unused in packed layout
+            return
+
+        bcols = tuple(bst_ref[:, s : s + 1] for s in range(3))  # (CP, 1)
         for a in range(A):
             v = jnp.where(avail > 0.5, pen_all, -BIG)
             mx = jnp.max(v, axis=0, keepdims=True)  # (1, L)
@@ -660,6 +706,7 @@ def narrow_phase_topk_lanes(model, frame, A: int, interpret: bool | None = None)
     B = frame.rot.shape[0]
     LANES = 128
     Bp = -(-B // LANES) * LANES
+    packed = not interpret  # hardware: packed rows; interpret/CPU: f32 oracle
 
     ft = jnp.concatenate(
         [frame.pos, frame.rot, frame.lin_vel, frame.ang_vel], axis=-1
@@ -670,13 +717,31 @@ def narrow_phase_topk_lanes(model, frame, A: int, interpret: bool | None = None)
     const_spec = lambda shape: pl.BlockSpec(
         shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
     )
-    pen_l, feat_l, bsel_l = pl.pallas_call(
-        _make_narrow_topk_kernel(J, C, CP, A),
-        out_shape=(
+    if packed:
+        out_shape = (
+            jax.ShapeDtypeStruct((A, Bp), jnp.float32),
+            jax.ShapeDtypeStruct((7, A, Bp), jnp.int32),
+            jax.ShapeDtypeStruct((1, A, Bp), jnp.float32),  # unused slot
+        )
+        out_specs = (
+            pl.BlockSpec((A, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((7, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        )
+    else:
+        out_shape = (
             jax.ShapeDtypeStruct((A, Bp), jnp.float32),
             jax.ShapeDtypeStruct((12, A, Bp), jnp.float32),
             jax.ShapeDtypeStruct((3, A, Bp), jnp.float32),
-        ),
+        )
+        out_specs = (
+            pl.BlockSpec((A, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        )
+    pen_l, feat_l, bsel_l = pl.pallas_call(
+        _make_narrow_topk_kernel(J, C, CP, A, packed),
+        out_shape=out_shape,
         grid=(Bp // LANES,),
         in_specs=[
             pl.BlockSpec((13, J, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
@@ -684,14 +749,27 @@ def narrow_phase_topk_lanes(model, frame, A: int, interpret: bool | None = None)
             const_spec(knt.shape),
             const_spec(bst.shape),
         ],
-        out_specs=(
-            pl.BlockSpec((A, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, A, LANES), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_specs,
         interpret=interpret,
     )(ft, jnp.asarray(oh), jnp.asarray(knt), jnp.asarray(bst))
     pen_sel = pen_l[:, :B].T  # (B, A)
+    if packed:
+        pk = feat_l[:6, :, :B].transpose(2, 1, 0)  # (B, A, 6) int32
+        hi = jax.lax.bitcast_convert_type(pk & jnp.int32(-65536), jnp.float32)
+        lo = jax.lax.bitcast_convert_type(
+            jax.lax.shift_left(pk, jnp.int32(16)), jnp.float32
+        )
+        fsel = jnp.stack(
+            [hi[..., 0], lo[..., 0], hi[..., 1], lo[..., 1], hi[..., 2], lo[..., 2],
+             hi[..., 3], lo[..., 3], hi[..., 4], lo[..., 4], hi[..., 5], lo[..., 5]],
+            axis=-1,
+        )  # (B, A, 12)
+        cmb = feat_l[6, :, :B].T  # (B, A) int32
+        b0 = (cmb % 32).astype(jnp.float32)
+        b1 = ((cmb // 32) % 32).astype(jnp.float32)
+        bg = (cmb // 1024).astype(jnp.float32)
+        bsel = jnp.stack([b0, b1, bg], axis=-1)  # (B, A, 3)
+        return pen_sel, fsel, bsel
     fsel = feat_l[:, :, :B].transpose(2, 1, 0)  # (B, A, 12)
     bsel = bsel_l[:, :, :B].transpose(2, 1, 0)  # (B, A, 3)
     return pen_sel, fsel, bsel
