@@ -1523,10 +1523,20 @@ def _step_frozen(model: PhysicsModel, state: PhysicsState, pd_target: jax.Array,
         # are dead code on this path); the Gram transpose fuses into the add
         C_lanes, M_lanes = lanes_dyn.mass_bias_lanes(model, frame, state)
         lhs_lanes = M_lanes + jnp.transpose(G, (1, 2, 0))
+        # bf16 Jacobian for the substep kernel ONLY (TPU): halves the
+        # biggest per-step HBM tensor (157 -> 79 MB at B=4096) across its
+        # assembly write and the kernel's DMA read. The kernel's contact
+        # matvecs (Q = J^T f, v_m += dt J qacc) run HIGHEST-precision dots
+        # with fp32 accumulation, so the only loss is ~0.4% on Jacobian
+        # entries — validated behaviorally by the trained-policy eval
+        # probe. The Gram factor W stays derived from the f32 Jm (its PSD
+        # argument needs the psd_round bf16-grid factor, engine._psd_round).
+        # CPU keeps f32 so the fused-vs-legacy parity test stays exact.
+        Jm_k = Jm_p.astype(jnp.bfloat16) if jax.default_backend() == "tpu" else Jm_p
         root_pos_n, joint_quat_n, vel_n, dof_torque, f_m = (
             fused_step.frozen_substeps_fused(
                 model, state.root_pos, state.joint_quat, state.vel,
-                lhs_lanes, Jm_p, C_lanes, c_t, c_n, pen0,
+                lhs_lanes, Jm_k, C_lanes, c_t, c_n, pen0,
                 cs.v_t1, cs.v_t2, cs.v_n, pd_target, Q_ext,
                 lanes_inputs=True,
                 jm_transposed=True,  # Jm_p is the (B, 3A, NPad) Gram layout

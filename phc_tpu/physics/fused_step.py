@@ -476,7 +476,9 @@ def frozen_substeps_fused(
             pltpu.VMEM((NP, LANES), jnp.float32),  # y2
             pltpu.VMEM((NP, LANES), jnp.float32),  # x
             pltpu.VMEM((NP, NP, LANES), jnp.float32),  # Lt tile
-            pltpu.VMEM((NP, MP, LANES), jnp.float32),  # Jm tile
+            # dtype follows the caller's Jacobian (bf16 on TPU: halves the
+            # biggest per-step DMA; the matvecs promote to f32)
+            pltpu.VMEM((NP, MP, LANES), Jm_l.dtype),  # Jm tile
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
