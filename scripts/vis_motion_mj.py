@@ -212,21 +212,57 @@ def main():
 
         import mujoco.viewer
 
-        with mujoco.viewer.launch_passive(m, d) as viewer:
+        # Live-viewer keyboard surface (the reference viewer's bindings,
+        # render_env.py:186-205, mapped onto the replay loop; projectile
+        # perturbations live in `mode play --perturb.interval N` instead,
+        # since live physics runs on the TPU host, not in this viewer):
+        #   Space pause/resume  ·  Right-arrow single-step while paused
+        #   - / = slow down / speed up  ·  F toggle camera follow
+        #   M toggle ref-ghost markers  ·  R rewind to frame 0
+        ui = {
+            "paused": False,
+            "step_once": False,
+            "speed": 1.0,
+            "follow": not args.no_follow,
+            "markers": ref_seq is not None,
+            "rewind": False,
+        }
+
+        def key_callback(keycode):
+            if keycode == ord(" "):
+                ui["paused"] = not ui["paused"]
+            elif keycode == 262:  # GLFW right arrow
+                ui["step_once"] = True
+            elif keycode == ord("-"):
+                ui["speed"] = max(0.125, ui["speed"] * 0.5)
+            elif keycode == ord("="):
+                ui["speed"] = min(8.0, ui["speed"] * 2.0)
+            elif keycode in (ord("f"), ord("F")):
+                ui["follow"] = not ui["follow"]
+            elif keycode in (ord("m"), ord("M")):
+                ui["markers"] = not ui["markers"]
+            elif keycode in (ord("r"), ord("R")):
+                ui["rewind"] = True
+
+        with mujoco.viewer.launch_passive(m, d, key_callback=key_callback) as viewer:
             t = 0
             while viewer.is_running():
+                if ui["rewind"]:
+                    t, ui["rewind"] = 0, False
                 ti = t % len(qpos_seq)
                 d.qpos[:] = qpos_seq[ti]
                 mujoco.mj_kinematics(m, d)
-                if not args.no_follow:
+                if ui["follow"]:
                     viewer.cam.lookat[:] = qpos_seq[ti][:3]
                 with viewer.lock():
                     viewer.user_scn.ngeom = 0
-                    if ref_seq is not None:
+                    if ref_seq is not None and ui["markers"]:
                         add_ref_markers(viewer.user_scn, ref_seq[ti])
                 viewer.sync()
-                time.sleep(1.0 / fps)
-                t += 1
+                time.sleep(1.0 / (fps * ui["speed"]))
+                if not ui["paused"] or ui["step_once"]:
+                    t += 1
+                    ui["step_once"] = False
 
 
 if __name__ == "__main__":
